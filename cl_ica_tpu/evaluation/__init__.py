@@ -1,0 +1,23 @@
+"""Identifiability metrics: MCC, linear R², Hungarian assignment.
+
+Reference parity: disentanglement_utils.py, munkres.py,
+kitti_masks/mcc_metric/metric.py.
+"""
+
+from .munkres import Munkres, hungarian
+from .disentanglement import (
+    linear_disentanglement,
+    permutation_disentanglement,
+    r2_score,
+)
+from .mcc import compute_mcc, correlation
+
+__all__ = [
+    "Munkres",
+    "hungarian",
+    "linear_disentanglement",
+    "permutation_disentanglement",
+    "r2_score",
+    "compute_mcc",
+    "correlation",
+]

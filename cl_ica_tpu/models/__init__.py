@@ -1,0 +1,27 @@
+"""Encoders, constraint heads, and invertible mixing networks (Flax).
+
+Reference parity: encoders.py, layers.py, invertible_network_utils.py,
+kitti_masks/model.py.
+"""
+
+from .layers import RescaleLayer, SoftclipLayer, smooth_leaky_relu
+from .mlp import MLPEncoder, get_mlp
+from .invertible import InvertibleMLP, construct_invertible_mlp
+from .conv import ConvEncoder64
+from .resnet import ResNet, ResNet18, ResNet50, ResNet101, ResNet152
+
+__all__ = [
+    "RescaleLayer",
+    "SoftclipLayer",
+    "smooth_leaky_relu",
+    "MLPEncoder",
+    "get_mlp",
+    "InvertibleMLP",
+    "construct_invertible_mlp",
+    "ConvEncoder64",
+    "ResNet",
+    "ResNet18",
+    "ResNet50",
+    "ResNet101",
+    "ResNet152",
+]

@@ -1,0 +1,77 @@
+"""Constraint heads and activations not shipped with Flax.
+
+Reference parity: /root/reference/layers.py (RescaleLayer :48-71,
+SoftclipLayer :74-91) and the SmoothLeakyReLU activation of
+invertible_network_utils.py:43-49.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def smooth_leaky_relu(x, alpha: float = 0.2):
+    """alpha*x + (1-alpha)*log(1+exp(x)) — a C∞ leaky ReLU
+    (invertible_network_utils.py:43-49). Uses softplus for stability."""
+    return alpha * x + (1 - alpha) * nn.softplus(x)
+
+
+class RescaleLayer(nn.Module):
+    """Normalize outputs onto a hypersphere of fixed or learnable radius
+    (layers.py:48-71). mode='eq' projects onto the sphere; 'leq' only
+    rescales points outside it."""
+
+    init_r: float = 1.0
+    fixed_r: bool = False
+    mode: str = "eq"
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.mode in ("eq", "leq")
+        if self.fixed_r:
+            r = jnp.asarray(self.init_r, dtype=x.dtype)
+        else:
+            r = self.param("r", lambda k: jnp.ones((1,)) * self.init_r)
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        if self.mode == "eq":
+            return x / norm * r
+        # 'leq': shrink only where ||x|| > r (branchless for jit)
+        scale = jnp.where(norm > r, r / norm, 1.0)
+        return x * scale
+
+
+class SoftclipLayer(nn.Module):
+    """Squash outputs into a hyperrectangle: sigmoid(x) * bound, with a
+    fixed or learnable per-dim bound vector (layers.py:74-91)."""
+
+    n: int
+    init_abs_bound: float = 1.0
+    fixed_abs_bound: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.fixed_abs_bound:
+            bound = jnp.full((self.n,), self.init_abs_bound, dtype=x.dtype)
+        else:
+            bound = self.param(
+                "max_abs_bound", lambda k: jnp.ones((self.n,)) * self.init_abs_bound
+            )
+        return nn.sigmoid(x) * bound[None, :]
+
+
+class PositionalEncoding2D(nn.Module):
+    """Concatenate normalized (row, col) coordinate channels to NHWC images
+    (layers.py:10-27; reference is NCHW — here NHWC, TPU-native layout)."""
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[-3], x.shape[-2]
+        rows = jnp.arange(h, dtype=x.dtype)[:, None] * jnp.ones((1, w), x.dtype)
+        cols = jnp.ones((h, 1), x.dtype) * jnp.arange(w, dtype=x.dtype)[None, :]
+        pos = jnp.stack([rows, cols], axis=-1)
+        pos = pos / (jnp.max(pos) + 1e-12)
+        pos = jnp.broadcast_to(pos[None], (x.shape[0], h, w, 2))
+        return jnp.concatenate([pos, x], axis=-1)

@@ -1,0 +1,185 @@
+"""Loss golden-value tests vs a naive numpy oracle.
+
+The oracle re-derives the reference formulas (losses.py:162-202,405-477)
+with explicit loops/broadcasts — an independent implementation, so a bug
+in the vectorized/MXU path can't hide.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cl_ica_tpu.losses import (
+    AlignmentLoss,
+    AlignmentUniformityLoss,
+    CombinedCLLoss,
+    LpSimCLRLoss,
+    R2Loss,
+    SimCLRLoss,
+    SplitCombinedCLLoss,
+    UniformityLoss,
+    logmeanexp,
+    pairwise_lp_distance,
+)
+
+rng = np.random.default_rng(42)
+B, N = 64, 10
+
+
+def _data():
+    z1 = rng.normal(size=(B, N)).astype(np.float32)
+    z2 = (z1 + 0.1 * rng.normal(size=(B, N))).astype(np.float32)
+    z3 = np.roll(z1, 1, axis=0)
+    return z1, z2, z3
+
+
+def _naive_lp_simclr(z1r, z2r, z3r, p, tau, alpha, compat, pow_):
+    # independent numpy oracle for LpSimCLRLoss
+    if p < 1.0:
+        neg = np.zeros((B, B))
+        for i in range(B):
+            for j in range(B):
+                neg[i, j] = np.sum(np.abs(z1r[j] - z3r[i] + 1e-12) ** p) ** (1 / p)
+        pos = np.sum((np.abs(z1r - z2r) + 1e-12) ** p, axis=-1) ** (1 / p)
+    else:
+        neg = np.zeros((B, B))
+        for i in range(B):
+            for j in range(B):
+                neg[i, j] = np.sum(np.abs(z1r[i] - z3r[j]) ** p) ** (1 / p)
+        pos = np.sum(np.abs(z1r - z2r) ** p, axis=-1) ** (1 / p)
+    if pow_:
+        neg = neg**p
+        pos = pos**p
+    if compat:
+        allv = np.concatenate([neg, pos[:, None]], axis=1)
+        loss_pos = pos / tau
+        m = (-allv / tau).max(axis=1, keepdims=True)
+        loss_neg = (m + np.log(np.exp(-allv / tau - m).sum(axis=1, keepdims=True)))[:, 0]
+    else:
+        loss_pos = pos / tau
+        m = (-neg / tau).max(axis=1, keepdims=True)
+        lse = (m + np.log(np.exp(-neg / tau - m).sum(axis=1, keepdims=True)))[:, 0]
+        loss_neg = lse - np.log(B)
+    loss = 2 * (alpha * loss_pos + (1 - alpha) * loss_neg)
+    return loss.mean(), loss
+
+
+@pytest.mark.parametrize("p", [1.0, 2.0, 3.0, 0.5])
+@pytest.mark.parametrize("compat", [True, False])
+def test_lp_simclr_matches_oracle(p, compat):
+    z1, z2, z3 = _data()
+    loss = LpSimCLRLoss(p=p, tau=1.0, simclr_compatibility_mode=compat)
+    mean, per_item, (pm, nm) = loss(z1, z2, z3, z1, z2, z3)
+    exp_mean, exp_items = _naive_lp_simclr(z1, z2, z3, p, 1.0, 0.5, compat, True)
+    np.testing.assert_allclose(float(mean), exp_mean, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(per_item), exp_items, rtol=2e-4, atol=1e-5)
+
+
+def test_lp_simclr_no_pow():
+    z1, z2, z3 = _data()
+    loss = LpSimCLRLoss(p=3.0, tau=0.7, pow=False)
+    mean, per_item, _ = loss(z1, z2, z3, z1, z2, z3)
+    exp_mean, _ = _naive_lp_simclr(z1, z2, z3, 3.0, 0.7, 0.5, False, False)
+    np.testing.assert_allclose(float(mean), exp_mean, rtol=2e-5)
+
+
+def test_simclr_matches_oracle():
+    z1, z2, z3 = _data()
+    loss = SimCLRLoss(normalize=True, tau=0.5)
+    mean, per_item, _ = loss(z1, z2, z3, z1, z2, z3)
+
+    z1n = z1 / np.linalg.norm(z1, axis=-1, keepdims=True)
+    z2n = z2 / np.linalg.norm(z2, axis=-1, keepdims=True)
+    z3n = z3 / np.linalg.norm(z3, axis=-1, keepdims=True)
+    neg = z1n @ z3n.T
+    pos = np.sum(z1n * z2n, -1)
+    allv = np.concatenate([neg, pos[:, None]], 1) / 0.5
+    lse = np.log(np.exp(allv - allv.max(1, keepdims=True)).sum(1)) + allv.max(1)
+    expected = (2 * (0.5 * (-pos / 0.5) + 0.5 * lse)).mean()
+    np.testing.assert_allclose(float(mean), expected, rtol=2e-4)
+
+
+def test_pairwise_p2_matmul_matches_broadcast():
+    z1, _, z3 = _data()
+    d_mxu = pairwise_lp_distance(jnp.asarray(z1), jnp.asarray(z3), 2.0, pow_=True)
+    d_ref = ((z1[:, None, :] - z3[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d_mxu), d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pairwise_block_sizes_agree():
+    z1, _, z3 = _data()
+    a = pairwise_lp_distance(jnp.asarray(z1), jnp.asarray(z3), 1.0, block_size=16)
+    b = pairwise_lp_distance(jnp.asarray(z1), jnp.asarray(z3), 1.0, block_size=None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_uniformity_alignment():
+    z1, z2, z3 = _data()
+    u_mean, u_items, _ = UniformityLoss(p=2.0)(z1, z3)
+    deltas = np.abs(z1[None, :, :] - z3[:, None, :])
+    lp = (deltas**2).sum(-1)
+    exp_items = np.log(np.exp(-lp).mean(-1))
+    np.testing.assert_allclose(np.asarray(u_items), exp_items, rtol=1e-4)
+
+    a_mean, a_items, _ = AlignmentLoss(p=2.0)(z1, z2)
+    np.testing.assert_allclose(
+        np.asarray(a_items), (np.abs(z1 - z2) ** 2).sum(-1), rtol=1e-5
+    )
+
+
+def test_alignment_uniformity_combination():
+    z1, z2, z3 = _data()
+    mean, items, _ = AlignmentUniformityLoss(alpha=0.3, p=2.0)(z1, z2, z3, z1, z2, z3)
+    am, ai, _ = AlignmentLoss(p=2.0)(z1, z2)
+    um, ui, _ = UniformityLoss(p=2.0)(z1, z3)
+    np.testing.assert_allclose(float(mean), 0.7 * float(am) + 0.3 * float(um), rtol=1e-5)
+
+
+def test_split_combined_loss():
+    z1, z2, z3 = _data()
+    split = SplitCombinedCLLoss(
+        [
+            (LpSimCLRLoss(p=2.0, simclr_compatibility_mode=True), 0, 5),
+            (SimCLRLoss(tau=1.0), 5, 10),
+        ]
+    )
+    mean, items, comps = split(z1, z2, z3, z1, z2, z3)
+    m1, _, _ = LpSimCLRLoss(p=2.0, simclr_compatibility_mode=True)(
+        z1[:, :5], z2[:, :5], z3[:, :5], z1[:, :5], z2[:, :5], z3[:, :5]
+    )
+    m2, _, _ = SimCLRLoss(tau=1.0)(
+        z1[:, 5:], z2[:, 5:], z3[:, 5:], z1[:, 5:], z2[:, 5:], z3[:, 5:]
+    )
+    np.testing.assert_allclose(float(mean), float(m1) + float(m2), rtol=1e-5)
+
+
+def test_r2_loss():
+    y = rng.normal(size=(100, 4)).astype(np.float32)
+    yp = (y + 0.3 * rng.normal(size=(100, 4))).astype(np.float32)
+    r2 = R2Loss(reduction="mean", mode="r2")(jnp.asarray(yp), jnp.asarray(y))
+    exp = np.mean(1 - ((yp - y) ** 2).mean(0) / y.var(0))
+    np.testing.assert_allclose(float(r2), exp, rtol=1e-4)
+    neg = R2Loss(reduction="mean")(jnp.asarray(yp), jnp.asarray(y))
+    np.testing.assert_allclose(float(neg), -exp, rtol=1e-4)
+
+
+def test_losses_jit_and_grad():
+    z1, z2, z3 = _data()
+    loss = LpSimCLRLoss(p=2.0, simclr_compatibility_mode=True)
+
+    @jax.jit
+    def f(a, b, c):
+        m, _, _ = loss(None, None, None, a, b, c)
+        return m
+
+    g = jax.grad(f)(jnp.asarray(z1), jnp.asarray(z2), jnp.asarray(z3))
+    assert g.shape == (B, N)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_logmeanexp():
+    x = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    out = logmeanexp(x, axis=1)
+    exp = np.log(np.exp(np.asarray(x)).mean(1))
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4)

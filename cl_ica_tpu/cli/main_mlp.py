@@ -1,0 +1,307 @@
+"""MLP-mixing identifiability experiment (TPU-native).
+
+Reference parity: /root/reference/main_mlp.py — same flags (README.md:
+13-58), same experiment flow: choose space/marginal/conditional, build a
+frozen invertible mixing g, train encoder f on h = f∘g with LpSimCLR /
+SimCLR InfoNCE, evaluate linear R² + permutation MCC every n_log_steps
+on 4096 fresh marginal samples, then a final num-eval-batches mean/std.
+
+TPU design difference: sampling + mixing + encoder + loss + Adam all
+compile into ONE jitted step (the reference crosses host<->device every
+step at main_mlp.py:260-261,328 and detours through CPU numpy for vMF at
+spaces.py:246-255).
+
+Usage: python -m cl_ica_tpu.cli.main_mlp [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..evaluation import linear_disentanglement, permutation_disentanglement
+from ..losses import LpSimCLRLoss, SimCLRLoss
+from ..models import construct_invertible_mlp, get_mlp
+from ..spaces import LatentSpace, NBoxSpace, NRealSpace, NSphereSpace
+from ..train import TrainState, Throughput, make_synthetic_train_step
+
+
+def parse_args(argv=None):
+    # flag inventory mirrors main_mlp.py:21-127
+    parser = argparse.ArgumentParser(
+        description="Disentanglement with InfoNCE/Contrastive Learning - MLP Mixing"
+    )
+    parser.add_argument("--sphere-r", type=float, default=1.0)
+    parser.add_argument("--box-min", type=float, default=0.0,
+                        help="For box normalization only. Minimal value of box.")
+    parser.add_argument("--box-max", type=float, default=1.0,
+                        help="For box normalization only. Maximal value of box.")
+    parser.add_argument("--sphere-norm", action="store_true",
+                        help="Normalize output to a sphere.")
+    parser.add_argument("--box-norm", action="store_true",
+                        help="Normalize output to a box.")
+    parser.add_argument("--only-supervised", action="store_true",
+                        help="Only train supervised model.")
+    parser.add_argument("--only-unsupervised", action="store_true",
+                        help="Only train unsupervised model.")
+    parser.add_argument("--more-unsupervised", type=int, default=3,
+                        help="How many more steps to do for unsupervised compared "
+                             "to supervised training.")
+    parser.add_argument("--save-dir", type=str, default="")
+    parser.add_argument("--num-eval-batches", type=int, default=10,
+                        help="Number of batches to average evaluation performance "
+                             "at the end.")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--act-fct", type=str, default="leaky_relu",
+                        help="Activation function in mixing network g.")
+    parser.add_argument("--c-param", type=float, default=0.05,
+                        help="Concentration parameter of the conditional distribution.")
+    parser.add_argument("--m-param", type=float, default=1.0,
+                        help="Additional parameter for the marginal (only relevant if "
+                             "it is not uniform).")
+    parser.add_argument("--tau", type=float, default=1.0)
+    parser.add_argument("--n-mixing-layer", type=int, default=3,
+                        help="Number of layers in nonlinear mixing network g.")
+    parser.add_argument("--n", type=int, default=10,
+                        help="Dimensionality of the latents.")
+    parser.add_argument("--space-type", type=str, default="box",
+                        choices=("box", "sphere", "unbounded"))
+    parser.add_argument("--m-p", type=int, default=0,
+                        help="Type of ground-truth marginal distribution. p=0 means "
+                             "uniform; all other p values correspond to (projected) "
+                             "Lp Exponential")
+    parser.add_argument("--c-p", type=int, default=2,
+                        help="Exponent of ground-truth Lp Exponential distribution.")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--p", type=int, default=2,
+                        help="Exponent of the assumed model Lp Exponential "
+                             "distribution.")
+    parser.add_argument("--batch-size", type=int, default=6144)
+    parser.add_argument("--n-log-steps", type=int, default=250)
+    parser.add_argument("--n-steps", type=int, default=100001)
+    parser.add_argument("--resume-training", action="store_true")
+    args = parser.parse_args(argv)
+
+    print("Arguments:")
+    for k, v in vars(args).items():
+        print(f"\t{k}: {v}")
+    return args
+
+
+def build_latent_space(args) -> LatentSpace:
+    """Space + marginal + conditional selection (main_mlp.py:136-194)."""
+    if args.space_type == "box":
+        space = NBoxSpace(args.n, args.box_min, args.box_max)
+    elif args.space_type == "sphere":
+        space = NSphereSpace(args.n, args.sphere_r)
+    else:
+        space = NRealSpace(args.n)
+
+    eta = np.zeros(args.n, dtype=np.float32)
+    if args.space_type == "sphere":
+        eta[0] = 1.0
+    eta = jnp.asarray(eta)
+
+    if args.m_p:
+        if args.m_p == 1:
+            sample_marginal = lambda sp, k, size: sp.laplace(k, eta, args.m_param, size)
+        elif args.m_p == 2:
+            sample_marginal = lambda sp, k, size: sp.normal(k, eta, args.m_param, size)
+        else:
+            sample_marginal = lambda sp, k, size: sp.generalized_normal(
+                k, eta, args.m_param, args.m_p, size
+            )
+    else:
+        sample_marginal = lambda sp, k, size: sp.uniform(k, size)
+
+    if args.c_p:
+        if args.c_p == 1:
+            sample_conditional = lambda sp, k, z, size: sp.laplace(
+                k, z, args.c_param, size
+            )
+        elif args.c_p == 2:
+            sample_conditional = lambda sp, k, z, size: sp.normal(
+                k, z, args.c_param, size
+            )
+        else:
+            sample_conditional = lambda sp, k, z, size: sp.generalized_normal(
+                k, z, args.c_param, args.c_p, size
+            )
+    else:
+        sample_conditional = lambda sp, k, z, size: sp.von_mises_fisher(
+            k, z, args.c_param, size
+        )
+
+    return LatentSpace(space, sample_marginal, sample_conditional)
+
+
+def evaluate_scores(latent_space, h_fn, key, n_samples=4096):
+    """Eval on fresh marginal samples (main_mlp.py:334-356)."""
+    z = latent_space.sample_marginal(key, n_samples)
+    hz = np.asarray(h_fn(z))
+    z = np.asarray(z)
+    (lin, _), _ = linear_disentanglement(z, hz, mode="r2")
+    (perm, _), _ = permutation_disentanglement(
+        z, hz, mode="pearson", solver="munkres", rescaling=True
+    )
+    return lin, perm
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    seed = args.seed if args.seed is not None else int(time.time()) % 2**31
+    np_rng = np.random.default_rng(seed)
+    root_key = jax.random.PRNGKey(seed)
+
+    latent_space = build_latent_space(args)
+
+    if args.p:
+        loss = LpSimCLRLoss(p=args.p, tau=args.tau, simclr_compatibility_mode=True)
+    else:
+        loss = SimCLRLoss(normalize=False, tau=args.tau)
+
+    g = construct_invertible_mlp(
+        n=args.n,
+        n_layers=args.n_mixing_layer,
+        act_fct=args.act_fct,
+        cond_thresh_ratio=0.0,
+        n_iter_cond_thresh=25000,
+        rng=np_rng,
+    )
+    g_jit = jax.jit(g)
+
+    # identity-solution sanity scores (main_mlp.py:216-232)
+    key_eval = jax.random.PRNGKey(seed + 1)
+    lin0, perm0 = evaluate_scores(latent_space, g_jit, key_eval)
+    print(f"Id. Lin. Disentanglement: {lin0:.4f}")
+    print(f"Id. Perm. Disentanglement: {perm0:.4f}")
+
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        np.savez(
+            os.path.join(args.save_dir, "g.npz"),
+            *[np.asarray(w) for w in g.weights],
+        )
+
+    if args.only_unsupervised:
+        test_list = [False]
+    elif args.only_supervised:
+        test_list = [True]
+    else:
+        test_list = [True, False]
+
+    # output head selection (main_mlp.py:287-296)
+    if args.box_norm:
+        output_normalization = "learnable_box"
+    elif args.sphere_norm:
+        output_normalization = "learnable_sphere"
+    elif args.p == 0:
+        output_normalization = "fixed_sphere"
+    else:
+        output_normalization = None
+
+    total_loss_values = []
+    linear_scores = []
+    perm_scores = []
+    h_fn = None
+
+    for phase_idx, test in enumerate(test_list):
+        print(f"supervised test: {test}")
+        f = get_mlp(
+            n_in=args.n,
+            n_out=args.n,
+            layers=[args.n * 10, args.n * 50, args.n * 50,
+                    args.n * 50, args.n * 50, args.n * 10],
+            output_normalization=output_normalization,
+        )
+        root_key, k_init = jax.random.split(root_key)
+        params = f.init(k_init, jnp.zeros((2, args.n)))
+        optimizer = optax.adam(args.lr)
+
+        step_fn = make_synthetic_train_step(
+            latent_space.sample_pair,
+            g,
+            lambda p, x: f.apply(p, x),
+            loss,
+            optimizer,
+            args.batch_size,
+            supervised=test,
+        )
+        root_key, k_train = jax.random.split(root_key)
+        state = TrainState.create(params, optimizer.init(params), k_train)
+        h_fn = lambda z: f.apply(state.params, g(z))
+        h_jit = jax.jit(lambda p, z: f.apply(p, g(z)))
+
+        if not args.resume_training:
+            total_loss_values = []
+            linear_scores = []
+            perm_scores = []
+
+        n_steps = args.n_steps if test else args.n_steps * args.more_unsupervised
+        throughput = Throughput()
+        global_step = len(total_loss_values) + 1
+        while global_step <= n_steps:
+            state, metrics = step_fn(state)
+            total_loss_values.append(float(metrics["loss"]))
+            throughput.update(args.batch_size)
+            if global_step % args.n_log_steps == 1 or global_step == n_steps:
+                root_key, k_eval = jax.random.split(root_key)
+                lin, perm = evaluate_scores(
+                    latent_space, lambda z: h_jit(state.params, z), k_eval
+                )
+                linear_scores.append(lin)
+                perm_scores.append(perm)
+                pps = throughput.pairs_per_sec
+                print(
+                    f"Step: {global_step} \t",
+                    f"Loss: {total_loss_values[-1]:.4f} \t",
+                    f"<Loss>: {np.mean(total_loss_values[-args.n_log_steps:]):.4f} \t",
+                    f"Lin. Disentanglement: {lin:.4f} \t",
+                    f"Perm. Disentanglement: {perm:.4f}"
+                    + (f" \t pairs/s: {pps:.0f}" if pps else ""),
+                    flush=True,
+                )
+            else:
+                if linear_scores:
+                    linear_scores.append(linear_scores[-1])
+                    perm_scores.append(perm_scores[-1])
+            global_step += 1
+
+        if args.save_dir:
+            os.makedirs(args.save_dir, exist_ok=True)
+            import pickle
+
+            tag = "sup" if test else "unsup"
+            with open(os.path.join(args.save_dir, f"{tag}_f.pkl"), "wb") as fh:
+                pickle.dump(jax.tree.map(np.asarray, state.params), fh)
+
+        # keep final-phase h for the closing eval
+        final_params = state.params
+
+    # final mean/std over num_eval_batches (main_mlp.py:383-416)
+    final_linear, final_perm = [], []
+    h_final = jax.jit(lambda z: f.apply(final_params, g(z)))
+    for i in range(args.num_eval_batches):
+        root_key, k1 = jax.random.split(root_key)
+        z1, _ = latent_space.sample_pair(k1, args.batch_size)
+        z1_rec = np.asarray(h_final(z1))
+        z1 = np.asarray(z1)
+        (lin, _), _ = linear_disentanglement(z1, z1_rec, mode="r2")
+        (perm, _), _ = permutation_disentanglement(
+            z1, z1_rec, mode="pearson", solver="munkres", rescaling=True
+        )
+        final_linear.append(lin)
+        final_perm.append(perm)
+    print(f"linear mean: {np.mean(final_linear)} std: {np.std(final_linear)}")
+    print(f"perm mean: {np.mean(final_perm)} std: {np.std(final_perm)}")
+    return float(np.mean(final_linear)), float(np.mean(final_perm))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""Multi-chip scale-out: mesh + sharded global-batch InfoNCE.
+
+Reference analog: single-host torch DataParallel (main_3dident.py:373) —
+batch scattered across GPUs, loss computed on the gathered full batch so
+negatives are always global (SURVEY.md §7 "DataParallel semantics").
+
+TPU-native design: a jax.sharding.Mesh with a 'data' axis; batches carry
+NamedSharding(P('data')); parameters are replicated; the B×B InfoNCE
+similarity matrix is computed row-sharded, with XLA inserting the
+all-gather of the negatives' codes over ICI. Every chip holds B/n_chips
+rows of the similarity matrix — the quadratic object never materializes
+unsharded — and the loss mean reduces with a psum. This reproduces
+global-negative semantics exactly while the collective rides ICI.
+"""
+
+from .mesh import make_mesh, data_sharding, replicated
+from .sharded import make_sharded_synthetic_train_step, shard_batch
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "make_sharded_synthetic_train_step",
+    "shard_batch",
+]

@@ -1,0 +1,88 @@
+"""Sharded training steps: data-parallel with global negatives.
+
+The contrastive-learning analog of ring attention (SURVEY.md §5): the
+B×B InfoNCE matrix is the quadratic object; we shard its rows across the
+'data' axis. Under jit+GSPMD, z1/z2 sampling, the encoder forward/
+backward, and the row-block of the similarity matrix all stay local to
+each chip; XLA inserts exactly one all-gather (the z3 codes, n·B floats
+— tiny) plus grad psums over ICI. Loss semantics are bitwise the
+global-batch loss, matching the reference's gathered-batch DataParallel
+behavior (main_3dident.py:373, loss outside DataParallel).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.state import TrainState
+from .mesh import data_sharding, replicated
+
+
+def shard_batch(mesh: Mesh, x, axis: str = "data"):
+    """Place a host batch row-sharded across the mesh."""
+    return jax.device_put(x, data_sharding(mesh, axis))
+
+
+def make_sharded_synthetic_train_step(
+    mesh: Mesh,
+    sample_pair: Callable,
+    mixing: Callable,
+    apply_encoder: Callable,
+    loss_fn,
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    donate: bool = True,
+):
+    """Data-parallel version of train.make_synthetic_train_step.
+
+    Sampling happens inside jit with a sharding constraint, so each chip
+    generates its own B/n_chips rows — no host data path at any scale.
+    Parameters and optimizer state are replicated; XLA turns the loss
+    grad reduction into psums over ICI.
+    """
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, dsh)
+
+    def step(state: TrainState) -> Tuple[TrainState, dict]:
+        key, k_data = jax.random.split(state.key)
+        z1, z2 = sample_pair(k_data, batch_size)
+        z1 = constrain(z1)
+        z2 = constrain(z2)
+
+        def objective(params):
+            h = lambda z: constrain(apply_encoder(params, mixing(z)))
+            z1_rec = h(z1)
+            z2_rec = h(z2)
+            # global roll: with row-sharded z1_rec this is a cheap
+            # boundary ppermute under GSPMD
+            z3_rec = jnp.roll(z1_rec, 1, axis=0)
+            total, _, comps = loss_fn(None, None, None, z1_rec, z2_rec, z3_rec)
+            return total, (comps[0], comps[1])
+
+        (total, (pos, neg)), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
+
+    state_shardings = TrainState(
+        params=rep, opt_state=rep, step=rep, key=rep, batch_stats=None
+    )
+    return jax.jit(
+        step,
+        in_shardings=(state_shardings,),
+        out_shardings=(state_shardings, rep),
+        donate_argnums=(0,) if donate else (),
+    )

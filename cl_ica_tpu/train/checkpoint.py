@@ -1,0 +1,50 @@
+"""Orbax-backed checkpointing.
+
+One manager for all three experiment CLIs, replacing the reference's
+three ad-hoc schemes (main_mlp.py:245-248,373-381 weights-only;
+kitti_masks/solver.py:98-132 {iter, model, optim} dicts;
+main_3dident.py:561-566 path.iteration_N snapshots). Saves the full
+TrainState (params + opt state + step + RNG key [+ batch_stats]), so
+restarts resume the exact RNG stream.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, state: TrainState, step: Optional[int] = None, force: bool = False):
+        step = int(state.step) if step is None else step
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)),
+            force=force,
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, target: TrainState, step: Optional[int] = None) -> TrainState:
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def close(self):
+        self._mgr.close()

@@ -1,0 +1,131 @@
+"""Jitted train-step factories + throughput telemetry.
+
+One XLA program per step. For the synthetic (MLP-mixing) path the
+latent sampling, frozen mixing, encoder, loss, and Adam update all fuse
+into a single compiled step — there is no host<->device boundary at all
+(the reference crosses it at least twice per step: host sampling at
+main_mlp.py:328 and .to(device) at :260-261, plus a CPU detour for vMF).
+
+Negatives follow the reference trick z3_rec = roll(z1_rec, 1)
+(main_mlp.py:266,272; main_3dident.py:488; solver.py:66).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .state import TrainState
+
+
+def make_synthetic_train_step(
+    sample_pair: Callable,  # (key, size) -> (z1, z2)
+    mixing: Callable,  # g: (B, n) -> (B, d)
+    apply_encoder: Callable,  # (params, x) -> (B, n)
+    loss_fn,  # CLLoss-protocol callable
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    supervised: bool = False,
+    donate: bool = True,
+):
+    """Fully-fused step for on-the-fly synthetic data (main_mlp path).
+
+    supervised=True swaps the contrastive loss for MSE against the
+    ground-truth latents (the reference's upper-bound baseline,
+    main_mlp.py:274-275).
+    """
+
+    def step(state: TrainState) -> Tuple[TrainState, dict]:
+        key, k_data = jax.random.split(state.key)
+        z1, z2 = sample_pair(k_data, batch_size)
+        z3 = jnp.roll(z1, 1, axis=0)
+
+        def objective(params):
+            h = lambda z: apply_encoder(params, mixing(z))
+            z1_rec = h(z1)
+            z2_rec = h(z2)
+            z3_rec = jnp.roll(z1_rec, 1, axis=0)
+            if supervised:
+                total = jnp.mean((z1_rec - z1) ** 2)
+                return total, (total, total)
+            total, _, comps = loss_fn(z1, z2, z3, z1_rec, z2_rec, z3_rec)
+            return total, (comps[0], comps[1])
+
+        (total, (pos, neg)), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        metrics = {"loss": total, "loss_pos": pos, "loss_neg": neg}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_data_train_step(
+    apply_encoder: Callable,  # (params, batch_stats, x, train) -> (z, new_batch_stats)
+    loss_fn,
+    optimizer: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Step for host-fed image batches (3DIdent / KITTI paths).
+
+    batch = (x1, x2[, z1, z2]): two views; negatives are rolled from
+    x1's encodings as in the reference. Handles BatchNorm mutation
+    (ResNet) via batch_stats threading.
+    """
+
+    def step(state: TrainState, x1, x2) -> Tuple[TrainState, dict]:
+        def objective(params):
+            z1_rec, bs1 = apply_encoder(params, state.batch_stats, x1, True)
+            z2_rec, bs2 = apply_encoder(params, bs1, x2, True)
+            z3_rec = jnp.roll(z1_rec, 1, axis=0)
+            total, _, comps = loss_fn(None, None, None, z1_rec, z2_rec, z3_rec)
+            return total, (comps[0], comps[1], bs2)
+
+        (total, (pos, neg, batch_stats)), grads = jax.value_and_grad(
+            objective, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            batch_stats=batch_stats,
+        )
+        return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+class Throughput:
+    """pairs/sec telemetry (the BASELINE.json metric). Call update(n)
+    after each step completes; read .pairs_per_sec."""
+
+    def __init__(self, warmup_steps: int = 2):
+        self.warmup = warmup_steps
+        self.count = 0
+        self.pairs = 0
+        self.t0 = None
+
+    def update(self, n_pairs: int):
+        self.count += 1
+        if self.count == self.warmup:
+            self.t0 = time.perf_counter()
+        elif self.count > self.warmup:
+            self.pairs += n_pairs
+
+    @property
+    def pairs_per_sec(self) -> Optional[float]:
+        if self.t0 is None or self.pairs == 0:
+            return None
+        return self.pairs / (time.perf_counter() - self.t0)

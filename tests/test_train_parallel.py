@@ -1,0 +1,113 @@
+"""Trainer + multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cl_ica_tpu.losses import LpSimCLRLoss
+from cl_ica_tpu.models import construct_invertible_mlp, get_mlp
+from cl_ica_tpu.parallel import (
+    make_mesh,
+    make_sharded_synthetic_train_step,
+)
+from cl_ica_tpu.spaces import LatentSpace, NSphereSpace
+from cl_ica_tpu.train import TrainState, make_synthetic_train_step
+
+N = 4
+BATCH = 64
+
+
+def _setup():
+    space = NSphereSpace(N)
+    latent = LatentSpace(
+        space,
+        sample_marginal=lambda sp, k, size: sp.uniform(k, size),
+        sample_conditional=lambda sp, k, z, size: sp.von_mises_fisher(
+            k, z, 20.0, size
+        ),
+    )
+    g = construct_invertible_mlp(
+        n=N, n_layers=2, n_iter_cond_thresh=200, rng=np.random.default_rng(0)
+    )
+    f = get_mlp(N, N, [16, 16])
+    params = f.init(jax.random.PRNGKey(1), jnp.zeros((2, N)))
+    loss = LpSimCLRLoss(p=2.0, simclr_compatibility_mode=True)
+    opt = optax.adam(1e-3)
+    return latent, g, f, params, loss, opt
+
+
+def test_synthetic_train_step_runs_and_learns():
+    latent, g, f, params, loss, opt = _setup()
+    step_fn = make_synthetic_train_step(
+        latent.sample_pair, g, lambda p, x: f.apply(p, x), loss, opt, BATCH,
+        donate=False,
+    )
+    state = TrainState.create(params, opt.init(params), jax.random.PRNGKey(0))
+    losses = []
+    for _ in range(30):
+        state, m = step_fn(state)
+        losses.append(float(m["loss"]))
+    assert int(state.step) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])  # loss decreases
+    assert np.all(np.isfinite(losses))
+
+
+def test_supervised_step():
+    latent, g, f, params, loss, opt = _setup()
+    step_fn = make_synthetic_train_step(
+        latent.sample_pair, g, lambda p, x: f.apply(p, x), loss, opt, BATCH,
+        supervised=True, donate=False,
+    )
+    state = TrainState.create(params, opt.init(params), jax.random.PRNGKey(0))
+    state, m = step_fn(state)
+    assert float(m["loss"]) > 0
+
+
+def test_sharded_step_matches_single_device():
+    """The sharded loss must equal the global-batch loss bit-for-bit
+    (same RNG stream), reproducing DataParallel's global-negatives."""
+    latent, g, f, params, loss, opt = _setup()
+    apply_fn = lambda p, x: f.apply(p, x)
+
+    single = make_synthetic_train_step(
+        latent.sample_pair, g, apply_fn, loss, opt, BATCH, donate=False
+    )
+    mesh = make_mesh(8)
+    sharded = make_sharded_synthetic_train_step(
+        mesh, latent.sample_pair, g, apply_fn, loss, opt, BATCH, donate=False
+    )
+
+    s0 = TrainState.create(params, opt.init(params), jax.random.PRNGKey(0))
+    s1, m1 = single(s0)
+    s2, m2 = sharded(s0)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # params after update agree (atol covers cross-replica grad-reduction
+    # order noise amplified by Adam's step-1 rsqrt)
+    p1 = jax.tree.leaves(s1.params)
+    p2 = jax.tree.leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_sharded_step_multi_steps_stable():
+    latent, g, f, params, loss, opt = _setup()
+    mesh = make_mesh(8)
+    sharded = make_sharded_synthetic_train_step(
+        mesh, latent.sample_pair, g, lambda p, x: f.apply(p, x), loss, opt, BATCH,
+        donate=False,
+    )
+    state = TrainState.create(params, opt.init(params), jax.random.PRNGKey(0))
+    for _ in range(10):
+        state, m = sharded(state)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 10
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    mesh2 = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    assert mesh2.devices.shape == (4, 2)
+    assert mesh2.axis_names == ("data", "model")

@@ -28,6 +28,22 @@ def shard_batch(mesh: Mesh, x, axis: str = "data"):
     return jax.device_put(x, data_sharding(mesh, axis))
 
 
+def _tp_rule(mesh: Mesh, axis: str):
+    """Shape-based tensor-parallel sharding rule for MLP params/opt state:
+    2-D kernels split on the output dim, 1-D biases on their dim, scalars
+    replicated. XLA partitions the matmuls and inserts the activation
+    collectives (megatron-style column parallelism)."""
+
+    def rule(x):
+        if hasattr(x, "ndim") and x.ndim == 2:
+            return NamedSharding(mesh, P(None, axis))
+        if hasattr(x, "ndim") and x.ndim == 1 and x.shape[0] > 1:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return rule
+
+
 def make_sharded_synthetic_train_step(
     mesh: Mesh,
     sample_pair: Callable,
@@ -37,13 +53,17 @@ def make_sharded_synthetic_train_step(
     optimizer: optax.GradientTransformation,
     batch_size: int,
     donate: bool = True,
+    model_axis: str = None,
+    example_state: TrainState = None,
 ):
-    """Data-parallel version of train.make_synthetic_train_step.
+    """Data-parallel (optionally + tensor-parallel) synthetic train step.
 
     Sampling happens inside jit with a sharding constraint, so each chip
     generates its own B/n_chips rows — no host data path at any scale.
-    Parameters and optimizer state are replicated; XLA turns the loss
-    grad reduction into psums over ICI.
+    With model_axis=None parameters/opt state are replicated (pure DP);
+    XLA turns the loss grad reduction into psums over ICI. With a
+    model_axis (2-D mesh), encoder kernels are column-sharded over it
+    (requires example_state to derive the sharding pytree).
     """
     dsh = data_sharding(mesh)
     rep = replicated(mesh)
@@ -77,9 +97,20 @@ def make_sharded_synthetic_train_step(
         )
         return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
 
-    state_shardings = TrainState(
-        params=rep, opt_state=rep, step=rep, key=rep, batch_stats=None
-    )
+    if model_axis is None:
+        state_shardings = TrainState(
+            params=rep, opt_state=rep, step=rep, key=rep, batch_stats=None
+        )
+    else:
+        assert example_state is not None, "model_axis requires example_state"
+        rule = _tp_rule(mesh, model_axis)
+        state_shardings = TrainState(
+            params=jax.tree.map(rule, example_state.params),
+            opt_state=jax.tree.map(rule, example_state.opt_state),
+            step=rep,
+            key=rep,
+            batch_stats=None,
+        )
     return jax.jit(
         step,
         in_shardings=(state_shardings,),

@@ -142,10 +142,35 @@ class LpSimCLRLoss(CLLoss):
     simclr_compatibility_mode: bool = False
     pow: bool = True
     block_size: Optional[int] = 1024
+    use_fused: Optional[bool] = None  # None = auto (TPU, p>=1, p!=2, pow)
+
+    def _fused_ok(self) -> bool:
+        p = float(self.p)
+        eligible = p >= 1.0 and p != 2.0 and self.pow
+        if self.use_fused is None:
+            return eligible and jax.default_backend() == "tpu"
+        return self.use_fused and eligible
 
     def loss(self, z1, z2_con_z1, z3, z1_rec, z2_con_z1_rec, z3_rec):
         del z1, z2_con_z1, z3
         p = float(self.p)
+
+        if self._fused_ok():
+            # fused Pallas path: streaming logsumexp over the negatives
+            # row; pos folded in via logaddexp (== appending the pos
+            # column before logsumexp, losses.py:459-462)
+            from ..ops.infonce_pallas import fused_neg_lse
+
+            pos = jnp.sum(jnp.abs(z1_rec - z2_con_z1_rec) ** p, axis=-1)
+            lse = fused_neg_lse(z1_rec, z3_rec, p, self.tau)
+            loss_pos = pos / self.tau
+            if self.simclr_compatibility_mode:
+                loss_neg = jnp.logaddexp(lse, -pos / self.tau)
+            else:
+                loss_neg = lse - jnp.log(float(z3_rec.shape[0]))
+            loss = 2 * (self.alpha * loss_pos + (1.0 - self.alpha) * loss_neg)
+            return jnp.mean(loss), loss, [jnp.mean(loss_pos), jnp.mean(loss_neg)]
+
         if p < 1.0:
             neg = pairwise_lp_distance(
                 z3_rec, z1_rec, p, pow_=self.pow, eps=1e-12,

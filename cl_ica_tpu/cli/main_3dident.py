@@ -1,0 +1,567 @@
+"""3DIdent image-scale identifiability experiment (TPU-native).
+
+Reference parity: /root/reference/main_3dident.py — same flag inventory
+(README.md:59-147) and experiment flow: mixed-topology latent space
+(Box³ position × Sphere⁸ rotation/color with vMF conditional, or all-Box
+non-periodic), ResNet encoder with constraint heads, split InfoNCE
+(LpSimCLR on non-angular dims + SimCLR on angular dims), NN-matched
+rendered pairs, periodic eval (linear R² with train/test split, MCC,
+per-dim MSE, linear-fit MSE).
+
+TPU redesign: batched on-device NN matching + packed-image gathers
+replace per-sample FAISS/PNG DataLoader workers (data.threedident); the
+train step (encoder fwd/bwd + loss + Adam/SGD) is one jitted program;
+torch DataParallel is unnecessary — run under a jax mesh for multi-chip
+(parallel/).
+
+Usage: python -m cl_ica_tpu.cli.main_3dident --offline-dataset DIR [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import (
+    InfiniteIterator,
+    SequentialThreeDIdent,
+    ThreeDIdentBatchSampler,
+    normalize_3dident,
+)
+from ..evaluation import linear_disentanglement, permutation_disentanglement
+from ..losses import LpSimCLRLoss, R2Loss, SimCLRLoss
+from ..models import construct_invertible_mlp, get_mlp
+from ..models.layers import RescaleLayer, SoftclipLayer
+from ..models.resnet import ResNet18, ResNet50, ResNet101, ResNet152
+from ..spaces import LatentSpace, NBoxSpace, NSphereSpace, ProductLatentSpace
+from ..train import TrainState, Throughput
+
+import flax.linen as nn
+
+
+def parse_args(argv=None):
+    # flag inventory mirrors main_3dident.py:27-107
+    parser = argparse.ArgumentParser(
+        description="Disentanglement with InfoNCE/Contrastive Learning - 3DIdent"
+    )
+    parser.add_argument("--batch-size", default=512, type=int)
+    parser.add_argument("--n-eval-samples", default=4096, type=int)
+    parser.add_argument("--lr", default=1e-4, type=float)
+    parser.add_argument("--optimizer", default="adam", choices=("adam", "sgd"))
+    parser.add_argument("--iterations", default=30000, type=int,
+                        help="How long to train the model")
+    parser.add_argument("--n-log-steps", default=100, type=int,
+                        help="How often to calculate scores and print them")
+    parser.add_argument("--load-model", default=None, type=str,
+                        help="Path from where to load the model")
+    parser.add_argument("--save-model", default=None, type=str,
+                        help="Path where to save the model")
+    parser.add_argument("--save-every", default=None, type=int,
+                        help="After how many steps to save the model (will always "
+                             "be saved at the end)")
+    parser.add_argument("--no-cuda", action="store_true")  # accepted, no-op on TPU
+    parser.add_argument("--position-only", action="store_true")
+    parser.add_argument("--rotation-and-color-only", action="store_true")
+    parser.add_argument("--rotation-only", action="store_true")
+    parser.add_argument("--color-only", action="store_true")
+    parser.add_argument("--no-spotlight-position", action="store_true")
+    parser.add_argument("--no-spotlight-color", action="store_true")
+    parser.add_argument("--no-spotlight", action="store_true")
+    parser.add_argument("--non-periodic-rotation-and-color", action="store_true")
+    parser.add_argument("--dummy-mixing", action="store_true")
+    parser.add_argument("--identity-solution", action="store_true")
+    parser.add_argument("--identity-mixing-and-solution", action="store_true")
+    parser.add_argument("--approximate-dataset-nn-search", action="store_true")
+    parser.add_argument("--offline-dataset", type=str, required=True)
+    parser.add_argument("--faiss-omp-threads", type=int, default=16)  # accepted; NN runs on device
+    parser.add_argument("--box-constraint", type=str, default=None,
+                        choices=(None, "fix", "learnable"))
+    parser.add_argument("--sphere-constraint", type=str, default=None,
+                        choices=(None, "fix", "learnable"))
+    parser.add_argument("--workers", default=0, type=int,
+                        help="Number of workers to use (0=#cpus)")
+    parser.add_argument("--mode", default="supervised",
+                        choices=("supervised", "unsupervised", "test"))
+    parser.add_argument("--supervised-loss", default="mse", type=str,
+                        choices=("mse", "r2"))
+    parser.add_argument("--unsupervised-loss", default="l2", type=str,
+                        choices=("l1", "l2", "l3", "vmf"))
+    parser.add_argument("--non-periodical-conditional", default="l2",
+                        choices=("l1", "l2", "l3"))
+    parser.add_argument("--sigma", default=0.1, type=float,
+                        help="Sigma of the conditional distribution (for vMF: 1/kappa)")
+    parser.add_argument("--encoder", default="rn18",
+                        choices=("rn18", "rn50", "rn101", "rn151"))
+    parser.add_argument("--seed", default=0, type=int)
+    args = parser.parse_args(argv)
+
+    if args.no_spotlight:
+        args.no_spotlight_color = True
+        args.no_spotlight_position = True
+
+    print(args)
+
+    assert args.save_every is None or args.save_every > 0
+    assert not (args.save_model is None and args.save_every is not None), \
+        "--save-every requires --save-model to be set"
+    assert not (args.position_only and args.rotation_and_color_only), \
+        "Only one of these flags can be set."
+    assert not (
+        args.position_only
+        and (args.non_periodic_rotation_and_color or args.no_spotlight_color
+             or args.no_spotlight_position)
+    )
+    assert not (args.box_constraint is not None and args.sphere_constraint is not None)
+    if args.save_model is not None:
+        assert os.path.exists(os.path.dirname(args.save_model) or "."), \
+            f"Directory to save model does not exist"
+    return args
+
+
+def setup_latent_space(args, n_objects=1):
+    """Mixed-topology latent space (main_3dident.py:142-285)."""
+    n_color_rot = (
+        n_objects * (4 + (0 if args.no_spotlight_color else 1)
+                     + (0 if args.no_spotlight_position else 1)) + 1
+    )
+    n_pos = n_objects * 3
+    sigma = args.sigma
+
+    cond_p = {"l1": 1, "l2": 2, "l3": 3}[args.non_periodical_conditional]
+
+    def non_periodic_cond(sp, k, z, size):
+        if cond_p == 1:
+            return sp.laplace(k, z, sigma, size)
+        if cond_p == 2:
+            return sp.normal(k, z, sigma, size)
+        return sp.generalized_normal(k, z, sigma, 3, size)
+
+    uniform = lambda sp, k, size: sp.uniform(k, size)
+
+    position_space = LatentSpace(NBoxSpace(n_pos), uniform, non_periodic_cond)
+
+    if args.non_periodic_rotation_and_color:
+        rc_dim = n_objects * (4 + (0 if args.no_spotlight_color else 1)
+                              + (0 if args.no_spotlight_position else 1) + 1)
+        rotation_and_color_space = LatentSpace(
+            NBoxSpace(rc_dim), uniform, non_periodic_cond
+        )
+        rotation_space = LatentSpace(
+            NBoxSpace(n_objects * 3 + (0 if args.no_spotlight_position else 1)),
+            uniform, non_periodic_cond,
+        )
+        color_space = LatentSpace(
+            NBoxSpace(n_objects * (1 + (0 if args.no_spotlight_color else 1)) + 1),
+            uniform, non_periodic_cond,
+        )
+    else:
+        vmf_cond = lambda sp, k, z, size: sp.von_mises_fisher(k, z, 1.0 / sigma, size)
+        rotation_and_color_space = LatentSpace(
+            NSphereSpace(n_color_rot + 1), uniform, vmf_cond
+        )
+        rotation_space = LatentSpace(NSphereSpace(n_objects * 3 + 1), uniform, vmf_cond)
+        color_space = LatentSpace(NSphereSpace(n_objects * 3 + 2), uniform, vmf_cond)
+
+    if args.non_periodic_rotation_and_color:
+        if args.rotation_and_color_only:
+            return rotation_and_color_space, rotation_and_color_space.dim, 0
+        if args.position_only:
+            raise ValueError()
+        if args.rotation_only:
+            return rotation_space, rotation_space.dim, 0
+        if args.color_only:
+            return color_space, color_space.dim, 0
+        ls = ProductLatentSpace([position_space, rotation_and_color_space])
+        return ls, rotation_and_color_space.dim + position_space.dim, 0
+    else:
+        if args.position_only:
+            return position_space, position_space.dim, 0
+        if args.rotation_and_color_only:
+            return rotation_and_color_space, 0, rotation_and_color_space.dim
+        if args.rotation_only:
+            return rotation_space, 0, rotation_space.dim
+        if args.color_only:
+            return color_space, 0, color_space.dim
+        ls = ProductLatentSpace([position_space, rotation_and_color_space])
+        return ls, position_space.dim, rotation_and_color_space.dim
+
+
+class ThreeDIdentEncoder(nn.Module):
+    """ResNet backbone → LeakyReLU → Dense(n_latents) → constraint head
+    (main_3dident.py:288-371)."""
+
+    n_latents: int
+    n_non_angular: int
+    encoder: str = "rn18"
+    box_constraint: str = None
+    sphere_constraint: str = None
+    non_periodic: bool = False
+    position_only: bool = False
+    subset_only: bool = False  # rotation/color/rotation-and-color only
+    dummy_mixing: bool = False
+    identity_solution: bool = False
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = self.n_latents
+        if self.identity_solution:
+            # f = Flatten (main_3dident.py:296-298)
+            return x.reshape((x.shape[0], -1))
+        if self.dummy_mixing:
+            h = get_mlp(n, n, [n * 10, n * 50, n * 50, n * 50, n * 50, n * 10])(x)
+        else:
+            backbone = {
+                "rn18": ResNet18, "rn50": ResNet50,
+                "rn101": ResNet101, "rn151": ResNet152,
+            }[self.encoder]
+            h = backbone(num_classes=n * 10, dtype=self.dtype)(x, train=train)
+            h = nn.leaky_relu(h)
+            h = nn.Dense(n)(h)
+
+        def non_periodic_head(y, width):
+            if self.box_constraint is not None:
+                return SoftclipLayer(
+                    n=width, fixed_abs_bound=self.box_constraint == "fix"
+                )(y)
+            if self.sphere_constraint is not None:
+                return RescaleLayer(fixed_r=self.sphere_constraint == "fix")(y)
+            return y
+
+        periodic_head = lambda y: RescaleLayer(fixed_r=False, mode="eq")(y)
+
+        if self.position_only:
+            return non_periodic_head(h, self.n_non_angular)
+        if self.subset_only:
+            return non_periodic_head(h, n) if self.non_periodic else periodic_head(h)
+        if self.non_periodic:
+            return non_periodic_head(h, self.n_non_angular)
+        na = self.n_non_angular
+        return jnp.concatenate(
+            [non_periodic_head(h[:, :na], na), periodic_head(h[:, na:])], axis=1
+        )
+
+
+def build_split_loss(args, n_non_angular):
+    """Split InfoNCE: Lp on non-angular + SimCLR on angular dims
+    (main_3dident.py:402-449)."""
+    spherical = SimCLRLoss(normalize=False, tau=1.0)
+    if args.unsupervised_loss == "vmf":
+        nonspherical = SimCLRLoss(normalize=True, tau=1.0)
+    else:
+        p = {"l1": 1, "l2": 2, "l3": 3}[args.unsupervised_loss]
+        nonspherical = LpSimCLRLoss(p=p, tau=1.0, simclr_compatibility_mode=True,
+                                    pow=True)
+
+    def split(z1r, z2r, z3r):
+        na = n_non_angular
+        nsl = nonspherical(None, None, None, z1r[:, :na], z2r[:, :na], z3r[:, :na])
+        sl = spherical(None, None, None, z1r[:, na:], z2r[:, na:], z3r[:, na:])
+        return sl[0] + nsl[0], sl[1] + nsl[1], [sl[0], nsl[0]]
+
+    if args.position_only or args.non_periodic_rotation_and_color:
+        return lambda z1r, z2r, z3r: nonspherical(None, None, None, z1r, z2r, z3r)
+    if args.rotation_and_color_only or args.rotation_only or args.color_only:
+        return lambda z1r, z2r, z3r: spherical(None, None, None, z1r, z2r, z3r)
+    return split
+
+
+def latent_dims_to_use(args):
+    """Dataset latent-dim filtering tables (main_3dident.py:798-832)."""
+    if args.non_periodic_rotation_and_color:
+        if args.rotation_and_color_only:
+            dims = [3, 4, 5, 6, 7, 8, 9]
+        elif args.rotation_only:
+            dims = [3, 4, 5, 6]
+        elif args.color_only:
+            dims = [7, 8, 9]
+        elif args.position_only:
+            raise ValueError("Not supported")
+        else:
+            dims = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+        if args.no_spotlight_position:
+            dims = [d for d in dims if d != 6]
+        if args.no_spotlight_color:
+            dims = [d for d in dims if d != 8]
+        return dims
+    if args.position_only:
+        return [0, 1, 2]
+    if args.rotation_and_color_only:
+        return [3, 4, 5, 6, 7, 8, 9, 10]
+    if args.no_spotlight_position or args.no_spotlight_color:
+        raise NotImplementedError(
+            "This is only supported for non-periodic variables at the moment."
+        )
+    return None
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    assert os.path.exists(args.offline_dataset)
+    print("Using dataset:", args.offline_dataset)
+
+    latent_space, n_non_ang, n_ang = setup_latent_space(args)
+    n_latents = n_non_ang + n_ang
+    print(f"#Latents: {n_latents} , #Non-periodic latents: {n_non_ang} , "
+          f"#Periodic latents: {n_ang}")
+
+    root_key = jax.random.PRNGKey(args.seed)
+    np_rng = np.random.default_rng(args.seed)
+
+    subset_only = (args.rotation_and_color_only or args.rotation_only
+                   or args.color_only)
+    model = ThreeDIdentEncoder(
+        n_latents=n_latents,
+        n_non_angular=n_non_ang,
+        encoder=args.encoder,
+        box_constraint=args.box_constraint,
+        sphere_constraint=args.sphere_constraint,
+        non_periodic=args.non_periodic_rotation_and_color,
+        position_only=args.position_only,
+        subset_only=subset_only,
+        dummy_mixing=args.dummy_mixing,
+        identity_solution=args.identity_solution,
+    )
+
+    g = None
+    if args.dummy_mixing:
+        g = construct_invertible_mlp(
+            n_latents, n_layers=3, act_fct="leaky_relu",
+            cond_thresh_ratio=0.0, n_iter_cond_thresh=25000, rng=np_rng,
+        )
+
+    dims = latent_dims_to_use(args)
+    print("Using latent dimensions:", dims)
+    load_images = not (args.dummy_mixing or args.identity_mixing_and_solution)
+
+    if args.mode in ("supervised", "unsupervised"):
+        sampler = ThreeDIdentBatchSampler(
+            args.offline_dataset, latent_space, args.batch_size,
+            latent_dimensions_to_use=dims, load_images=load_images,
+        )
+    else:
+        sampler = SequentialThreeDIdent(
+            args.offline_dataset, latent_dimensions_to_use=dims,
+            load_images=load_images,
+        )
+
+    # ---- model init / load ----
+    example_x = (
+        jnp.zeros((1, n_latents)) if args.dummy_mixing
+        else jnp.zeros((1, 224, 224, 3))
+    )
+    root_key, k_init = jax.random.split(root_key)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        k_init, example_x, train=False
+    )
+    params = variables.get("params", {})
+    batch_stats = variables.get("batch_stats", None)
+
+    if args.load_model is not None:
+        with open(args.load_model, "rb") as fh:
+            loaded = pickle.load(fh)
+        params = jax.tree.map(jnp.asarray, loaded["params"])
+        batch_stats = (
+            jax.tree.map(jnp.asarray, loaded["batch_stats"])
+            if loaded.get("batch_stats") is not None else None
+        )
+        print("Model loaded:", args.load_model)
+
+    def save_model(path):
+        with open(path, "wb") as fh:
+            pickle.dump(
+                {
+                    "params": jax.tree.map(np.asarray, params),
+                    "batch_stats": (
+                        jax.tree.map(np.asarray, batch_stats)
+                        if batch_stats is not None else None
+                    ),
+                },
+                fh,
+            )
+        print("Model saved as", path)
+
+    optimizer = (
+        optax.adam(args.lr) if args.optimizer == "adam" else optax.sgd(args.lr)
+    )
+    opt_state = optimizer.init(params)
+
+    # ---- jitted apply / steps ----
+
+    def apply_model(params, batch_stats, x, train):
+        vs = {"params": params}
+        if batch_stats is not None:
+            vs["batch_stats"] = batch_stats
+            if train:
+                out, mut = model.apply(vs, x, train=True, mutable=["batch_stats"])
+                return out, mut["batch_stats"]
+            return model.apply(vs, x, train=False), batch_stats
+        return model.apply(vs, x, train=train), None
+
+    def make_batch(key):
+        """Device-side batch: latents (+ images via host gather)."""
+        if args.mode == "test":
+            idx = np_rng.choice(len(sampler), args.batch_size, replace=False)
+            z, x = sampler.batch(idx)
+            return jnp.asarray(z), (None if x is None else
+                                    normalize_3dident(jnp.asarray(x))), None, None
+        idx_z, idx_zt, z, zt = sampler.sample_latent_batch(key)
+        if load_images:
+            x = normalize_3dident(jnp.asarray(sampler.images.gather(np.asarray(idx_z))))
+            xt = normalize_3dident(jnp.asarray(sampler.images.gather(np.asarray(idx_zt))))
+        elif args.dummy_mixing:
+            x, xt = g(z), g(zt)
+        else:  # identity mixing
+            x, xt = z, zt
+        return z, x, zt, xt
+
+    split_loss = build_split_loss(args, n_non_ang)
+
+    if args.supervised_loss == "r2":
+        sup_loss = R2Loss(reduction="mean", mode="negative_r2")
+    else:
+        sup_loss = lambda pred, target: jnp.mean((pred - target) ** 2)
+
+    identity_scale = 1.0
+
+    @jax.jit
+    def unsup_step(params, opt_state, batch_stats, x1, x2):
+        def objective(p):
+            z1r, bs = apply_model(p, batch_stats, x1, True)
+            z2r, bs = apply_model(p, bs, x2, True)
+            z3r = jnp.roll(z1r, 1, axis=0)
+            total, per_item, comps = split_loss(z1r, z2r, z3r)
+            return total, (per_item, bs)
+
+        (total, (per_item, bs)), grads = jax.value_and_grad(
+            objective, has_aux=True
+        )(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, bs, total, per_item
+
+    @jax.jit
+    def sup_step(params, opt_state, batch_stats, x1, z1):
+        def objective(p):
+            hz1, bs = apply_model(p, batch_stats, x1, True)
+            return sup_loss(hz1, z1), bs
+
+        (total, bs), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, bs, total
+
+    encode = jax.jit(lambda p, bs, x: apply_model(p, bs, x, False)[0])
+
+    def evaluate(no_pairs=False):
+        """Accumulate n_eval_samples; linear R² (train/test split), MCC,
+        per-dim MSE, linear-fit MSE (main_3dident.py:656-748)."""
+        zs, hzs = [], []
+        nonlocal root_key
+        for _ in range(args.n_eval_samples // args.batch_size):
+            root_key, k = jax.random.split(root_key)
+            z, x, _, _ = make_batch(k)
+            if args.identity_mixing_and_solution:
+                hz = z
+            else:
+                hz = encode(params, batch_stats, x)
+            zs.append(np.asarray(z))
+            hzs.append(np.asarray(hz))
+        if not zs:
+            return np.inf, np.inf, np.inf, np.inf
+        z = np.concatenate(zs)
+        hz = np.concatenate(hzs)
+        (lin, _), (z_test, hz_lin) = linear_disentanglement(
+            z, hz, mode="r2", train_test_split=True
+        )
+        (mcc, _), _ = permutation_disentanglement(
+            z, hz, mode="pearson", solver="munkres", rescaling=True
+        )
+        mse = ((z - hz) ** 2).mean(0) if not args.identity_solution else np.inf
+        lin_mse = ((z_test - hz_lin) ** 2).mean(0)
+        return mcc, lin, mse, lin_mse
+
+    throughput = Throughput()
+    total_loss_values = []
+
+    if args.mode == "unsupervised":
+        for step in range(args.iterations):
+            root_key, k = jax.random.split(root_key)
+            z1, x1, z2, x2 = make_batch(k)
+            if args.identity_mixing_and_solution:
+                total = float(
+                    split_loss(z1 * identity_scale, z2 * identity_scale,
+                               jnp.roll(z1 * identity_scale, 1, axis=0))[0]
+                )
+                per_item_std = 0.0
+            else:
+                params, opt_state, batch_stats, total, per_item = unsup_step(
+                    params, opt_state, batch_stats, x1, x2
+                )
+                total = float(total)
+                per_item_std = float(jnp.std(per_item))
+            total_loss_values.append(total)
+            throughput.update(args.batch_size)
+            if step % args.n_log_steps == 0 or step == args.iterations:
+                mcc, lin, mse, lin_mse = evaluate()
+                pps = throughput.pairs_per_sec
+                print(
+                    f"[{datetime.now().strftime('%Y-%m-%d_%H:%M:%S')}] \t",
+                    f"Step: {step + 1} \t",
+                    f"Loss: {total:.6f} \t",
+                    f"sigma(loss): {per_item_std} \t",
+                    f"<Loss>: {np.mean(total_loss_values[-args.n_log_steps:]):.6f} \t",
+                    f"Lin. Disentanglement: {lin:.6f} \t",
+                    f"Perm. Disentanglement (MCC): {mcc:.4f}",
+                    f"L2: {mse}",
+                    f"lin. L2: {lin_mse}",
+                    (f"pairs/s: {pps:.0f}" if pps else ""),
+                    flush=True,
+                )
+                if args.identity_mixing_and_solution and sys.stdin.isatty():
+                    identity_scale = float(input("scale?: "))
+                    print("scale:", identity_scale)
+            if args.save_every is not None and (step + 1) % args.save_every == 0:
+                save_model(args.save_model + f".iteration_{step + 1}")
+    elif args.mode == "supervised":
+        for step in range(args.iterations):
+            if step % args.n_log_steps == 0 or step == args.iterations:
+                mcc, lin, mse, lin_mse = evaluate()
+                print(
+                    f"[{datetime.now().strftime('%Y-%m-%d_%H:%M:%S')}] \t"
+                    f"Step: {step} \t",
+                    f"Loss: {total_loss_values[-1] if total_loss_values else np.inf:.6f} \t",
+                    f"Lin. Disentanglement: {lin:.6f} \t",
+                    f"L2: {mse}",
+                    f"lin. L2: {lin_mse}",
+                    flush=True,
+                )
+            root_key, k = jax.random.split(root_key)
+            z1, x1, _, _ = make_batch(k)
+            if not args.identity_solution:
+                params, opt_state, batch_stats, total = sup_step(
+                    params, opt_state, batch_stats, x1, z1
+                )
+                total_loss_values.append(float(total))
+            else:
+                total_loss_values.append(np.inf)
+            if args.save_every is not None and (step + 1) % args.save_every == 0:
+                save_model(args.save_model + f".iteration_{step + 1}")
+    else:  # test
+        mcc, lin, mse, lin_mse = evaluate(no_pairs=True)
+        print(f"Lin. Disentanglement: {lin}, MCC: {mcc}, MSE: {mse}, "
+              f"lin. fit MSE: {lin_mse}")
+
+    if args.save_model is not None:
+        save_model(args.save_model)
+        print(f"Saving final model at: {args.save_model}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Data pipeline tests on synthetic fixtures (the real 3DIdent renders /
+KITTI pickle are external downloads; structure is replicated here)."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cl_ica_tpu.data import (
+    InfiniteIterator,
+    KittiMasks,
+    PackedImageStore,
+    SequentialThreeDIdent,
+    ThreeDIdentBatchSampler,
+    augment_mask_pairs,
+    interleave_pairs,
+    normalize_3dident,
+    pack_images,
+)
+from cl_ica_tpu.spaces import LatentSpace, NBoxSpace
+
+rng = np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def threedident_root(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("3dident")
+    n = 200
+    latents = rng.uniform(-1, 1, (n, 4)).astype(np.float32)
+    np.save(root / "raw_latents.npy", latents)
+    os.makedirs(root / "images")
+    max_length = int(np.ceil(np.log10(n)))
+    for i in range(n):
+        arr = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / "images" / f"{str(i).zfill(max_length)}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    seqs, lats = [], []
+    for t in (6, 9, 12):
+        seqs.append(rng.integers(0, 2, (t, 64, 64)).astype(bool))
+        lats.append(rng.normal(size=(t, 3)).astype(np.float32))
+    with open(root / "kitti_peds_v2.pickle", "wb") as fh:
+        pickle.dump({"pedestrians": seqs, "pedestrians_latents": lats}, fh)
+    return str(root)
+
+
+def _latent_space(n=4):
+    return LatentSpace(
+        NBoxSpace(n, -1, 1),
+        sample_marginal=lambda sp, k, size: sp.uniform(k, size),
+        sample_conditional=lambda sp, k, z, size: sp.normal(k, z, 0.2, size),
+    )
+
+
+def test_pack_and_store(threedident_root):
+    path = pack_images(threedident_root)
+    assert os.path.exists(path)
+    store = PackedImageStore(threedident_root, 200)
+    batch = store.gather(np.array([0, 5, 199]))
+    assert batch.shape == (3, 8, 8, 3) and batch.dtype == np.uint8
+    # packed content matches PNG decode
+    from PIL import Image
+
+    raw = np.asarray(Image.open(store.paths[5]).convert("RGB"))
+    np.testing.assert_array_equal(batch[1], raw)
+
+
+def test_batch_sampler_nn_semantics(threedident_root, key):
+    ls = _latent_space()
+    sampler = ThreeDIdentBatchSampler(threedident_root, ls, 32, load_images=False)
+    idx_z, idx_zt, z, zt = sampler.sample_latent_batch(key)
+    table = np.asarray(sampler.latents)
+    # returned latents are exactly rows of the table
+    np.testing.assert_allclose(np.asarray(z), table[np.asarray(idx_z)], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(zt), table[np.asarray(idx_zt)], rtol=1e-6)
+    # no positive pair collapsed onto the same render
+    assert np.all(np.asarray(idx_z) != np.asarray(idx_zt))
+
+
+def test_batch_sampler_matches_brute_force(threedident_root, key):
+    ls = _latent_space()
+    sampler = ThreeDIdentBatchSampler(threedident_root, ls, 16, load_images=False)
+    # reproduce the sampling, then verify idx_z is argmin distance
+    z, _ = ls.sample_pair(jax.random.split(key)[0], 16)  # not same stream; just check NN property
+    idx_z, _, zm, _ = sampler.sample_latent_batch(key)
+    table = np.asarray(sampler.latents)
+    # each matched latent is the true nearest neighbor of *some* query —
+    # verify via the sampler's own jit by re-deriving with the same key
+    z2, zt2 = ls.sample_pair(key, 16)
+    d = ((np.asarray(z2)[:, None, :] - table[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx_z), d.argmin(1))
+
+
+def test_batch_sampler_images(threedident_root, key):
+    ls = _latent_space()
+    sampler = ThreeDIdentBatchSampler(threedident_root, ls, 8)
+    (z, zt), (x, xt) = sampler.sample_batch(key)
+    assert x.shape == (8, 8, 8, 3) and x.dtype == np.uint8
+    norm = normalize_3dident(jnp.asarray(x))
+    assert np.asarray(norm).std() > 0.5  # roughly standardized
+
+
+def test_sequential(threedident_root):
+    seq = SequentialThreeDIdent(threedident_root)
+    z, x = seq.batch(np.array([3, 4]))
+    assert z.shape == (2, 4) and x.shape == (2, 8, 8, 3)
+    assert len(seq) == 200
+
+
+def test_kitti_pairs(kitti_root):
+    ds = KittiMasks(path=kitti_root, download=False)
+    assert len(ds) == (6 - 1) + (9 - 1) + (12 - 1)
+    r = np.random.default_rng(0)
+    x1, x2, l1, l2 = ds.sample_pair_batch(16, r)
+    assert x1.shape == (16, 64, 64) and x1.dtype == np.uint8
+    assert set(np.unique(x1)) <= {0, 255}
+    assert l1.shape == (16, 3)
+    # temporal ordering within sequence: end >= start + 1 (unless clamped)
+    seq, start = ds.locate(0)
+    assert (seq, start) == (0, 0)
+    seq, start = ds.locate(5)
+    assert seq == 1 and start == 0
+
+
+def test_kitti_dislib_protocol(kitti_root):
+    ds = KittiMasks(path=kitti_root, download=False)
+    rs = np.random.RandomState(0)
+    y, x = ds.sample(10, rs)
+    assert x.shape == (10, 1, 64, 64) and y.shape == (10, 3)
+    assert x.max() <= 1.0
+
+
+def test_kitti_missing_file_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        KittiMasks(path=str(tmp_path / "nope"), download=False)
+
+
+def test_augmentation_paired_and_valid(kitti_root, key):
+    ds = KittiMasks(path=kitti_root, download=False)
+    r = np.random.default_rng(0)
+    x1, x2, _, _ = ds.sample_pair_batch(8, r)
+    y1, y2 = augment_mask_pairs(key, jnp.asarray(x1), jnp.asarray(x2))
+    assert y1.shape == (8, 64, 64)
+    assert float(y1.min()) >= 0.0 and float(y1.max()) <= 1.0
+    # identical inputs must stay identical after paired augmentation
+    a1, a2 = augment_mask_pairs(key, jnp.asarray(x1), jnp.asarray(x1))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    # mass approximately preserved (rotation+translation, no scaling)
+    m_in = (x1 > 0).mean()
+    m_out = float((np.asarray(y1) > 0.5).mean())
+    assert abs(m_in - m_out) < 0.1
+
+
+def test_interleave(key):
+    x1 = jnp.arange(4)[:, None] * jnp.ones((4, 3))
+    x2 = -x1
+    out = interleave_pairs(x1, x2)
+    assert out.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(out[::2]), np.asarray(x1))
+    np.testing.assert_array_equal(np.asarray(out[1::2]), np.asarray(x2))
+
+
+def test_infinite_iterator():
+    it = InfiniteIterator([1, 2, 3])
+    assert [next(it) for _ in range(7)] == [1, 2, 3, 1, 2, 3, 1]

@@ -1,0 +1,139 @@
+"""KITTI Masks training solver (TPU-native).
+
+Reference parity: kitti_masks/solver.py — conv encoder (ConvEncoder64 ==
+BetaVAE_H stripped to encoder), Adam(lr, beta1, beta2), LpSimCLR
+(p=args.p, tau=1.0, simclr_compatibility_mode=True), negatives by
+rolling z1's encodings (solver.py:66), running-loss log.csv every
+log_step, checkpoint 'last' every save_step plus a numbered one every
+50k iters.
+
+TPU redesign: the host only gathers raw uint8 frame pairs; paired
+augmentation (data.kitti.augment_mask_pairs), encoding of both frames,
+the loss and the Adam update run as one jitted program per step.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.kitti import KittiMasks, augment_mask_pairs
+from ..losses import LpSimCLRLoss
+from ..models import ConvEncoder64
+
+
+class Solver:
+    def __init__(self, args, dataset: KittiMasks):
+        self.ckpt_dir = args.ckpt_dir
+        self.output_dir = args.output_dir
+        self.dataset = dataset
+        self.max_iter = int(args.max_iter)
+        self.global_iter = 0
+        self.z_dim = args.z_dim
+        self.nc = args.num_channel
+        self.log_step = args.log_step
+        self.save_step = args.save_step
+        self.batch_pairs = args.batch_size // 2
+        self.augment = dataset.use_augmentation
+
+        self.net = ConvEncoder64(z_dim=self.z_dim, nc=self.nc,
+                                 box_norm=bool(args.box_norm))
+        self.key = jax.random.PRNGKey(args.seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.params = jax.jit(self.net.init)(
+            k_init, jnp.zeros((2, 64, 64, self.nc))
+        )
+        self.optim = optax.adam(args.lr, b1=args.beta1, b2=args.beta2)
+        self.opt_state = self.optim.init(self.params)
+        self.loss = LpSimCLRLoss(p=args.p, tau=1.0, simclr_compatibility_mode=True)
+        self.np_rng = np.random.default_rng(args.seed)
+
+        net, loss, optim, augment = self.net, self.loss, self.optim, self.augment
+
+        @jax.jit
+        def step(params, opt_state, key, x1_u8, x2_u8):
+            if augment:
+                k_aug, key = jax.random.split(key)
+                x1, x2 = augment_mask_pairs(k_aug, x1_u8, x2_u8)
+            else:
+                x1 = x1_u8.astype(jnp.float32) / 255.0
+                x2 = x2_u8.astype(jnp.float32) / 255.0
+
+            def objective(p):
+                z1_rec = net.apply(p, x1[..., None])
+                z2_rec = net.apply(p, x2[..., None])
+                z3_rec = jnp.roll(z1_rec, 1, axis=0)
+                total, _, _ = loss(None, None, None, z1_rec, z2_rec, z3_rec)
+                return total
+
+            total, grads = jax.value_and_grad(objective)(params)
+            updates, new_opt = optim.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt, key, total
+
+        self._step = step
+
+    def train(self) -> bool:
+        failure = False
+        running_loss = 0.0
+        log = open(os.path.join(self.output_dir, "log.csv"), "a", 1)
+        log.write("Total Loss\n")
+
+        while self.global_iter < self.max_iter:
+            x1, x2, _, _ = self.dataset.sample_pair_batch(
+                self.batch_pairs, self.np_rng
+            )
+            self.params, self.opt_state, self.key, total = self._step(
+                self.params, self.opt_state, self.key,
+                jnp.asarray(x1), jnp.asarray(x2),
+            )
+            running_loss += float(total)
+            self.global_iter += 1
+            if self.global_iter % self.log_step == 0:
+                log.write("%.6f\n" % (running_loss / self.log_step))
+                running_loss = 0.0
+            if self.global_iter % self.save_step == 0:
+                self.save_checkpoint("last")
+            if self.global_iter % 50000 == 0:
+                self.save_checkpoint(str(self.global_iter))
+        log.close()
+        self.save_checkpoint("last")
+        return failure
+
+    def encode(self, x_np: np.ndarray) -> np.ndarray:
+        """mean_rep: encode (B, C, H, W) float arrays (dis-lib layout,
+        evaluate_disentanglement.py:28-33)."""
+        x = jnp.asarray(x_np, dtype=jnp.float32)
+        if x.ndim == 4 and x.shape[1] in (1, 3):  # NCHW -> NHWC
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        return np.asarray(jax.jit(self.net.apply)(self.params, x))
+
+    def save_checkpoint(self, filename: str, silent: bool = True):
+        states = {
+            "iter": self.global_iter,
+            "model_states": {"net": jax.tree.map(np.asarray, self.params)},
+            "optim_states": {"optim": jax.tree.map(np.asarray, self.opt_state)},
+        }
+        file_path = os.path.join(self.ckpt_dir, filename)
+        with open(file_path, "wb") as fh:
+            pickle.dump(states, fh)
+        if not silent:
+            print(f"=> saved checkpoint '{file_path}' (iter {self.global_iter})")
+
+    def load_checkpoint(self, filename: str):
+        file_path = os.path.join(self.ckpt_dir, filename)
+        if os.path.isfile(file_path):
+            with open(file_path, "rb") as fh:
+                ckpt = pickle.load(fh)
+            self.global_iter = ckpt["iter"]
+            self.params = jax.tree.map(jnp.asarray, ckpt["model_states"]["net"])
+            self.opt_state = jax.tree.map(
+                jnp.asarray, ckpt["optim_states"]["optim"]
+            )
+            print(f"=> loaded checkpoint '{file_path} (iter {self.global_iter})'")
+        else:
+            print(f"=> no checkpoint found at '{file_path}'")

@@ -94,18 +94,35 @@ class PackedImageStore:
         self.root = root
         self.paths = _image_paths(root, n)
         self._packed = None
+        self._native = None
         candidates = [
             os.path.join(root, f)
             for f in os.listdir(root)
             if f.startswith("images_packed_") and f.endswith(".u8")
         ] if os.path.isdir(root) else []
+        packed_path = None
         if candidates:
-            self._packed = np.lib.format.open_memmap(candidates[0], mode="r")
+            packed_path = candidates[0]
         elif build_pack and os.path.isdir(os.path.join(root, "images")):
-            self._packed = np.lib.format.open_memmap(pack_images(root), mode="r")
+            packed_path = pack_images(root)
+        if packed_path:
+            self._packed = np.lib.format.open_memmap(packed_path, mode="r")
+            try:
+                from ..native import PackedGather
+
+                native = PackedGather(
+                    packed_path, self._packed.shape[1:], self._packed.shape[0]
+                )
+                if native.ok:
+                    self._native = native
+            except Exception:
+                self._native = None
 
     def gather(self, indices: np.ndarray) -> np.ndarray:
         """(B,) indices -> (B, H, W, 3) uint8."""
+        if self._native is not None:
+            # threaded C++ gather, GIL released for the whole batch
+            return self._native.gather(np.asarray(indices))
         if self._packed is not None:
             return np.asarray(self._packed[indices])
         from PIL import Image

@@ -19,18 +19,35 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 
-def hungarian(cost: np.ndarray) -> List[Tuple[int, int]]:
+def hungarian(cost: np.ndarray, prefer_native: bool = None) -> List[Tuple[int, int]]:
     """Minimum-cost assignment of rows to columns.
 
     Returns [(row, col), ...] sorted by row, one entry per row of the
     (possibly rectangular) cost matrix after zero-padding to square —
     matching reference munkres.pad_matrix (:315) + compute (:351).
+
+    prefer_native: route through the C++ solver (native/hungarian.cpp).
+    Default: only for n >= 20 — both solvers return an optimal matching
+    (identical MCC), but tie-breaking can differ, so small n stays on the
+    Python path for byte-stable parity with the vendored reference.
     """
     cost = np.asarray(cost, dtype=np.float64)
     orig_rows, orig_cols = cost.shape
     n = max(orig_rows, orig_cols)
     c = np.zeros((n, n), dtype=np.float64)
     c[:orig_rows, :orig_cols] = cost
+
+    if prefer_native is None:
+        prefer_native = n >= 20
+    if prefer_native:
+        try:
+            from ..native import hungarian_solve_native
+
+            row_to_col = hungarian_solve_native(c)
+            if row_to_col is not None:
+                return [(i, int(row_to_col[i])) for i in range(n)]
+        except Exception:
+            pass
 
     starred = np.zeros((n, n), dtype=bool)
     primed = np.zeros((n, n), dtype=bool)

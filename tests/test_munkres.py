@@ -55,3 +55,31 @@ def test_rectangular_padding():
     pairs = hungarian(cost)
     # padded to 3x3; rows 0..2 all present
     assert len(pairs) == 3
+
+
+def test_exact_match_vs_vendored_reference():
+    """BASELINE requirement: Hungarian assignment must match the
+    reference's vendored munkres.py output exactly. Import it directly
+    from the (read-only) reference checkout when present."""
+    import importlib.util, os
+
+    ref_path = "/root/reference/munkres.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("ref_munkres", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng2 = np.random.default_rng(123)
+    for n in (3, 5, 10):
+        for _ in range(10):
+            corr = rng2.uniform(-1, 1, (n, n))
+            cost = -np.abs(corr)  # the MCC call shape
+            ours = hungarian(cost, prefer_native=False)
+            theirs = ref.Munkres().compute(cost.tolist())
+            total_ours = sum(cost[r, c] for r, c in ours)
+            total_theirs = sum(cost[r][c] for r, c in theirs)
+            np.testing.assert_allclose(total_ours, total_theirs, rtol=1e-12)
+            # exact assignment parity (not just cost): continuous random
+            # matrices have no ties, so optimal assignment is unique
+            assert ours == [(int(r), int(c)) for r, c in sorted(theirs)]

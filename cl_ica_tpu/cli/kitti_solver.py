@@ -64,9 +64,14 @@ class Solver:
                 x1 = x1_u8.astype(jnp.float32) / 255.0
                 x2 = x2_u8.astype(jnp.float32) / 255.0
 
+            b = x1.shape[0]
+
             def objective(p):
-                z1_rec = net.apply(p, x1[..., None])
-                z2_rec = net.apply(p, x2[..., None])
+                # both frames in one 2B forward (the reference's
+                # interleaved batch does the same thing implicitly:
+                # solver.py:63-65 encodes the 2B batch then de-interleaves)
+                z = net.apply(p, jnp.concatenate([x1, x2], 0)[..., None])
+                z1_rec, z2_rec = z[:b], z[b:]
                 z3_rec = jnp.roll(z1_rec, 1, axis=0)
                 total, _, _ = loss(None, None, None, z1_rec, z2_rec, z3_rec)
                 return total

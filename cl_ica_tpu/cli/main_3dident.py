@@ -434,9 +434,12 @@ def main(argv=None):
 
     @jax.jit
     def unsup_step(params, opt_state, batch_stats, x1, x2):
+        b = x1.shape[0]
+
         def objective(p):
-            z1r, bs = apply_model(p, batch_stats, x1, True)
-            z2r, bs = apply_model(p, bs, x2, True)
+            # both views in one 2B forward (MXU utilization, see bench.py)
+            z, bs = apply_model(p, batch_stats, jnp.concatenate([x1, x2], 0), True)
+            z1r, z2r = z[:b], z[b:]
             z3r = jnp.roll(z1r, 1, axis=0)
             total, per_item, comps = split_loss(z1r, z2r, z3r)
             return total, (per_item, bs)

@@ -9,6 +9,7 @@ from .mlp import MLPEncoder, get_mlp
 from .invertible import InvertibleMLP, construct_invertible_mlp
 from .conv import ConvEncoder64
 from .resnet import ResNet, ResNet18, ResNet50, ResNet101, ResNet152
+from .flows import CouplingFlow, FrozenFlow, get_flow, construct_invertible_flow
 
 __all__ = [
     "RescaleLayer",
@@ -24,4 +25,8 @@ __all__ = [
     "ResNet50",
     "ResNet101",
     "ResNet152",
+    "CouplingFlow",
+    "FrozenFlow",
+    "get_flow",
+    "construct_invertible_flow",
 ]

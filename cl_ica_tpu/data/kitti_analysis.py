@@ -1,0 +1,98 @@
+"""Offline statistical analysis of KITTI latent transitions.
+
+Reference parity: kitti_masks/data_analysis_utils.py — the analysis that
+justifies the Laplace-transition assumption (and hence p=1 in the KITTI
+LpSimCLR loss): fit candidate distributions (generalized normal, normal,
+Laplace) to per-factor latent deltas, score with KS tests and kurtosis,
+and estimate pairwise mutual information between factors. Not on the
+training path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import scipy.stats as sps
+
+
+CANDIDATES = {
+    "gennorm": sps.gennorm,
+    "norm": sps.norm,
+    "laplace": sps.laplace,
+}
+
+
+def latent_deltas(dataset, max_delta_t: int = 1) -> np.ndarray:
+    """Collect z_{t+dt} - z_t for all in-sequence pairs. dataset is
+    data.kitti.KittiMasks; returns (N, 3)."""
+    deltas = []
+    for lat_seq in dataset.latents:
+        lat_seq = np.asarray(lat_seq)
+        for dt in range(1, max_delta_t + 1):
+            if len(lat_seq) > dt:
+                deltas.append(lat_seq[dt:] - lat_seq[:-dt])
+    return np.concatenate(deltas, axis=0)
+
+
+def fit_transition_distributions(deltas: np.ndarray) -> List[Dict]:
+    """Per-factor candidate fits with KS statistics and excess kurtosis
+    (data_analysis_utils.py:134-220)."""
+    rows = []
+    for dim in range(deltas.shape[1]):
+        x = deltas[:, dim]
+        x = (x - x.mean()) / (x.std() + 1e-12)
+        row = {
+            "dim": dim,
+            "kurtosis": float(sps.kurtosis(x)),
+        }
+        for name, dist in CANDIDATES.items():
+            params = dist.fit(x)
+            ks_stat, ks_p = sps.kstest(x, name, args=params)
+            row[f"{name}_params"] = tuple(float(p) for p in params)
+            row[f"{name}_ks_stat"] = float(ks_stat)
+            row[f"{name}_ks_p"] = float(ks_p)
+        rows.append(row)
+    return rows
+
+
+def find_best(rows: List[Dict]) -> List[Dict]:
+    """Per dim: candidate with the smallest KS statistic
+    (data_analysis_utils.py:223-240)."""
+    out = []
+    for row in rows:
+        best = min(CANDIDATES, key=lambda name: row[f"{name}_ks_stat"])
+        out.append(
+            {
+                "dim": row["dim"],
+                "best": best,
+                "ks_stat": row[f"{best}_ks_stat"],
+                "kurtosis": row["kurtosis"],
+                # gennorm beta<2 means heavier-than-Gaussian tails;
+                # beta≈1 is Laplace
+                "gennorm_beta": row["gennorm_params"][0],
+            }
+        )
+    return out
+
+
+def factor_mutual_information(latents: np.ndarray, n_neighbors: int = 3):
+    """Pairwise MI between latent factors (sklearn kNN estimator)."""
+    from sklearn.feature_selection import mutual_info_regression
+
+    d = latents.shape[1]
+    mi = np.zeros((d, d))
+    for i in range(d):
+        mi[:, i] = mutual_info_regression(
+            latents, latents[:, i], n_neighbors=n_neighbors, random_state=0
+        )
+    return mi
+
+
+def generate_dataframe(dataset, max_delta_t: int = 1):
+    """Summary table as a pandas DataFrame (optional dependency)."""
+    import pandas as pd
+
+    deltas = latent_deltas(dataset, max_delta_t)
+    rows = fit_transition_distributions(deltas)
+    return pd.DataFrame(rows)

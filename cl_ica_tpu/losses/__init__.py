@@ -7,6 +7,7 @@ path has an MXU matmul fast path (p=2) and a fused Pallas kernel
 (cl_ica_tpu.ops.lp_infonce) that never materializes B×B×n in HBM.
 """
 
+from .slowvae import SlowVAELoss
 from .infonce import (
     CLLoss,
     SimCLRLoss,
@@ -35,4 +36,5 @@ __all__ = [
     "R2Loss",
     "logmeanexp",
     "pairwise_lp_distance",
+    "SlowVAELoss",
 ]

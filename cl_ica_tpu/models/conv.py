@@ -45,3 +45,32 @@ class ConvEncoder64(nn.Module):
         if self.box_norm:
             x = SoftclipLayer(n=self.z_dim, init_abs_bound=1.0, fixed_abs_bound=False)(x)
         return x
+
+
+class ConvDecoder64(nn.Module):
+    """z_dim → 64×64×nc transposed-conv decoder — the beta-VAE decoder
+    the reference keeps commented out (kitti_masks/model.py:57-72) but
+    needs for the SlowVAE baseline loss (losses.py:289-402). Mirror of
+    ConvEncoder64: Linear(256) → deconv(64,4,valid) → deconv(64,4,s2)
+    → deconv(32,4,s2) → deconv(32,4,s2) → deconv(nc,4,s2), ReLU between.
+    Returns logits (no sigmoid; the loss applies it when appropriate)."""
+
+    z_dim: int = 10
+    nc: int = 3
+
+    @nn.compact
+    def __call__(self, z):
+        x = nn.Dense(256, kernel_init=_kaiming)(z)
+        x = x.reshape((x.shape[0], 1, 1, 256))
+        x = nn.relu(x)
+        x = nn.ConvTranspose(64, (4, 4), strides=(1, 1), padding="VALID",
+                             kernel_init=_kaiming)(x)  # 4x4
+        x = nn.relu(x)
+        for feat in (64, 32, 32):
+            x = nn.ConvTranspose(feat, (4, 4), strides=(2, 2),
+                                 padding=((1, 1), (1, 1)),
+                                 kernel_init=_kaiming)(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(self.nc, (4, 4), strides=(2, 2),
+                             padding=((1, 1), (1, 1)), kernel_init=_kaiming)(x)
+        return x

@@ -183,3 +183,37 @@ def test_logmeanexp():
     out = logmeanexp(x, axis=1)
     exp = np.log(np.exp(np.asarray(x)).mean(1))
     np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4)
+
+
+def test_slowvae_loss():
+    from cl_ica_tpu.losses import SlowVAELoss
+
+    n = 3
+    dec = lambda z: jnp.tile(z[:, :1, None, None], (1, 8, 8, 1))  # toy decoder
+    g = lambda z: (jnp.tile(z[:, :1, None, None], (1, 8, 8, 1)) > 0).astype(
+        jnp.float32
+    )
+    loss = SlowVAELoss(dec_h=dec, g=g, gamma=10.0, beta=1.0, rate_prior=6.0, n=n)
+    z1 = jnp.asarray(rng.normal(size=(16, n)).astype(np.float32))
+    z2 = z1 + 0.1
+    # encoder output packs [mu, logvar]
+    z1r = jnp.concatenate([z1, jnp.full((16, n), -1.0)], axis=1)
+    z2r = jnp.concatenate([z2, jnp.full((16, n), -1.0)], axis=1)
+    total, per_item, comps = loss(z1, z2, None, z1r, z2r, None,
+                                  key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(total))
+    recon, kl_n, kl_l = comps
+    assert float(kl_n) > 0 and float(kl_l) > 0
+    # identical pairs minimize the laplace KL term vs distant pairs
+    z2_far = z1 + 3.0
+    z2r_far = jnp.concatenate([z2_far, jnp.full((16, n), -1.0)], axis=1)
+    _, _, comps_far = loss(z1, z2_far, None, z1r, z2r_far, None,
+                           key=jax.random.PRNGKey(0))
+    assert float(comps_far[2]) > float(kl_l)
+    # grads flow
+    def f(mu):
+        z1r2 = jnp.concatenate([mu, jnp.full((16, n), -1.0)], axis=1)
+        t, _, _ = loss(z1, z2, None, z1r2, z2r, None, key=jax.random.PRNGKey(0))
+        return t
+    gr = jax.grad(f)(z1)
+    assert np.all(np.isfinite(np.asarray(gr)))

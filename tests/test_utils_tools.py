@@ -1,0 +1,105 @@
+"""Utils (debug/profiling/seeding) + tools (mean-std, kitti analysis)."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cl_ica_tpu.utils import (
+    StepTimer,
+    checkify_wrap,
+    nan_check,
+    seed_everything,
+    trace_context,
+)
+
+
+def test_seed_everything():
+    rng1, key1 = seed_everything(42)
+    rng2, key2 = seed_everything(42)
+    assert rng1.normal() == rng2.normal()
+    np.testing.assert_array_equal(np.asarray(key1), np.asarray(key2))
+
+
+def test_step_timer():
+    t = StepTimer(window=4)
+    assert t.mean_step_seconds is None
+    for _ in range(6):
+        t.tick()
+    assert t.mean_step_seconds is not None
+    assert len(t._times) == 4
+
+
+def test_nan_check_passthrough_off(monkeypatch):
+    monkeypatch.delenv("CL_ICA_TPU_DEBUG", raising=False)
+    x = jnp.array([1.0, jnp.nan])
+    out = nan_check(x)  # no-op when disabled
+    assert out is x
+
+
+def test_checkify_catches_nan(monkeypatch):
+    monkeypatch.setenv("CL_ICA_TPU_DEBUG", "1")
+
+    @checkify_wrap
+    @jax.jit
+    def f(x):
+        return jnp.sum(nan_check(x, "x"))
+
+    assert float(f(jnp.ones(3))) == 3.0
+    with pytest.raises(Exception):
+        f(jnp.array([1.0, jnp.nan]))
+
+
+def test_trace_context_noop():
+    with trace_context(None):
+        pass
+
+
+def test_mean_std_tool(tmp_path):
+    from PIL import Image
+
+    from cl_ica_tpu.tools.get_mean_std import compute_mean_std
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (20, 6, 6, 3), dtype=np.uint8)
+    for i, im in enumerate(imgs):
+        Image.fromarray(im).save(tmp_path / f"{i:03d}.png")
+    mean, std = compute_mean_std(str(tmp_path), batch=7)
+    flat = imgs.astype(np.float64).reshape(-1, 3) / 255.0
+    np.testing.assert_allclose(mean, flat.mean(0), atol=1e-9)
+    np.testing.assert_allclose(std, flat.std(0), atol=1e-6)
+
+
+def test_kitti_analysis(tmp_path):
+    from cl_ica_tpu.data.kitti import KittiMasks
+    from cl_ica_tpu.data.kitti_analysis import (
+        factor_mutual_information,
+        find_best,
+        fit_transition_distributions,
+        latent_deltas,
+    )
+
+    rng = np.random.default_rng(0)
+    seqs, lats = [], []
+    for _ in range(4):
+        T = 40
+        seqs.append(rng.integers(0, 2, (T, 64, 64)).astype(bool))
+        # laplace-distributed transitions by construction
+        steps = rng.laplace(size=(T, 3))
+        lats.append(np.cumsum(steps, 0).astype(np.float32))
+    with open(tmp_path / "kitti_peds_v2.pickle", "wb") as fh:
+        pickle.dump({"pedestrians": seqs, "pedestrians_latents": lats}, fh)
+    ds = KittiMasks(path=str(tmp_path), download=False)
+
+    deltas = latent_deltas(ds)
+    assert deltas.shape == (4 * 39, 3)
+    rows = fit_transition_distributions(deltas)
+    best = find_best(rows)
+    # laplace transitions: gennorm beta should be well below gaussian (2)
+    assert all(b["gennorm_beta"] < 1.7 for b in best)
+    mi = factor_mutual_information(deltas[:100])
+    assert mi.shape == (3, 3)
+    assert np.all(np.diag(mi) >= mi.max(0) - 1e-6)  # self-MI maximal

@@ -1,0 +1,173 @@
+"""3DIdent rendering: latents → scene parameters → Cycles renders.
+
+Reference parity: tools/3dident/generate_clevr_dataset_images.py +
+render_utils.py (offline step 2 of dataset creation; runs INSIDE Blender
+— `blender --background --python <this file> -- [args]`). Rendering is
+inherently external to the TPU framework (SURVEY.md §2.4: keep the
+offline dataset format); what this module contributes:
+
+1. `latents_to_scene(...)`: the pure-numpy mapping from the 10 renderer
+   latents to scene parameters — object xyz (z lifted by half object
+   height), euler rotations, HSV→RGB object/spotlight/background colors,
+   and the spotlight orbiting at radius 4 around the object
+   (generate_clevr_dataset_images.py:235-299). This defines the
+   ground-truth generative process and is testable without Blender.
+2. The sharded, resumable render driver (skip-existing semantics,
+   `--n-batches/--batch-index` embarrassing parallelism,
+   generate_clevr_dataset_images.py:29-49), gated on `import bpy`.
+
+Scene assets (base_scene_equal_xyz.blend, materials, the teapot shape)
+are the published CLEVR-derived data accompanying the reference; point
+--assets at a checkout of them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import colorsys
+import os
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+SPOTLIGHT_ORBIT_RADIUS = 4.0
+SPOTLIGHT_HEIGHT_OFFSET = 6.0
+SPOTLIGHT_ENERGY = 3000.0
+SPOT_SIZE_DEG = 35.0
+RENDER_SIZE = 224
+RENDER_SAMPLES = 512
+
+
+@dataclass
+class SceneParams:
+    """Scene parameters for one object + scene-level background."""
+
+    object_location: Tuple[float, float, float]
+    object_rotation_euler: Tuple[float, float, float]
+    object_rgba: Tuple[float, float, float, float]
+    spotlight_location: Tuple[float, float, float]
+    spotlight_rgb: Tuple[float, float, float]
+    background_rgba: Tuple[float, float, float, float]
+
+
+def latents_to_scene(latents: np.ndarray, max_object_size: float = 1.5) -> SceneParams:
+    """Map one row of renderer latents (layout per
+    generate_clevr_dataset_latents.py:33-49: [x, y, z, α, β, γ, θ_spot,
+    hue_obj, hue_spot, hue_bg]) to scene parameters."""
+    latents = np.asarray(latents, dtype=np.float64)
+    assert latents.shape[-1] == 10
+    x, y, z = latents[0], latents[1], latents[2]
+    obj_loc = (float(x), float(y), float(z + max_object_size / 2))
+    obj_rot = tuple(float(v) for v in latents[3:6])
+    obj_rgba = colorsys.hsv_to_rgb(latents[7] / (2 * np.pi), 1.0, 1.0) + (1.0,)
+    spot_rgb = colorsys.hsv_to_rgb(latents[8] / (2 * np.pi), 0.8, 1.0)
+    theta = latents[6]
+    spot_loc = (
+        float(SPOTLIGHT_ORBIT_RADIUS * np.sin(theta)),
+        float(SPOTLIGHT_ORBIT_RADIUS * np.cos(theta)),
+        float(SPOTLIGHT_HEIGHT_OFFSET + max_object_size),
+    )
+    bg_rgba = colorsys.hsv_to_rgb(latents[9] / (2 * np.pi), 0.60, 1.0) + (1.0,)
+    return SceneParams(
+        object_location=obj_loc,
+        object_rotation_euler=obj_rot,
+        object_rgba=tuple(float(v) for v in obj_rgba),
+        spotlight_location=spot_loc,
+        spotlight_rgb=tuple(float(v) for v in spot_rgb),
+        background_rgba=tuple(float(v) for v in bg_rgba),
+    )
+
+
+def shard_indices(n_samples: int, n_batches: int, batch_index: int) -> np.ndarray:
+    """Embarrassingly-parallel render sharding
+    (generate_clevr_dataset_images.py:29-30)."""
+    return np.array_split(np.arange(n_samples), n_batches)[batch_index]
+
+
+def bpy_available() -> bool:
+    try:
+        import bpy  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _apply_scene(bpy, params: SceneParams, object_name: str, spot_name: str,
+                 update_lights: bool):
+    obj = bpy.data.objects[object_name]
+    obj.location = params.object_location
+    obj.rotation_euler = params.object_rotation_euler
+    mat = obj.data.materials[-1]
+    _set_material_color(mat, params.object_rgba)
+    if update_lights:
+        spot = bpy.data.objects[spot_name]
+        spot.data.color = params.spotlight_rgb
+        spot.location = params.spotlight_location
+    ground = bpy.data.objects["Ground"].data.materials[-1]
+    _set_material_color(ground, params.background_rgba)
+
+
+def _set_material_color(material, rgba):
+    """Set the Color input of the material's group node (render_utils
+    change_material semantics)."""
+    for node in material.node_tree.nodes:
+        for inp in getattr(node, "inputs", []):
+            if inp.name == "Color":
+                inp.default_value = rgba
+                return
+
+
+def render_shard(args):
+    """Blender-side render loop (resumable: skips existing files)."""
+    import bpy  # requires running inside Blender
+
+    latents = np.load(os.path.join(args.output_folder, "latents.npy"))
+    n_samples = len(latents)
+    indices = shard_indices(n_samples, args.n_batches, args.batch_index)
+    out_dir = os.path.join(args.output_folder, "images")
+    os.makedirs(out_dir, exist_ok=True)
+    zfill = int(np.ceil(np.log10(n_samples)))
+
+    scene = bpy.context.scene
+    scene.render.engine = "CYCLES"
+    scene.render.resolution_x = RENDER_SIZE
+    scene.render.resolution_y = RENDER_SIZE
+    scene.cycles.samples = RENDER_SAMPLES
+
+    for idx in indices:
+        out = os.path.join(out_dir, f"{str(idx).zfill(zfill)}.png")
+        if os.path.exists(out):
+            print("Skipped file", out)
+            continue
+        params = latents_to_scene(latents[idx])
+        _apply_scene(bpy, params, "Object_0", "Spotlight_Object_0",
+                     not args.no_spotlights)
+        scene.render.filepath = out
+        bpy.ops.render.render(write_still=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output-folder", required=True, type=str)
+    parser.add_argument("--n-batches", default=1, type=int)
+    parser.add_argument("--batch-index", default=0, type=int)
+    parser.add_argument("--no-spotlights", action="store_true")
+    parser.add_argument("--assets", default=None, type=str,
+                        help="path to the CLEVR-derived scene assets")
+    args = parser.parse_args(argv)
+    if not bpy_available():
+        raise SystemExit(
+            "Rendering requires Blender: run as\n"
+            "  blender --background <base_scene.blend> --python "
+            "cl_ica_tpu/tools/render_3dident.py -- [args]"
+        )
+    render_shard(args)
+
+
+if __name__ == "__main__":
+    import sys
+
+    argv = sys.argv[sys.argv.index("--") + 1:] if "--" in sys.argv else None
+    main(argv)

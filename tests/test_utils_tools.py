@@ -103,3 +103,51 @@ def test_kitti_analysis(tmp_path):
     mi = factor_mutual_information(deltas[:100])
     assert mi.shape == (3, 3)
     assert np.all(np.diag(mi) >= mi.max(0) - 1e-6)  # self-MI maximal
+
+
+def test_render_latents_to_scene():
+    from cl_ica_tpu.tools.render_3dident import latents_to_scene, shard_indices
+
+    lat = np.array([1.0, -2.0, 0.5, 0.1, 0.2, 0.3, np.pi / 2, 0.0, np.pi,
+                    2 * np.pi / 3])
+    p = latents_to_scene(lat, max_object_size=1.5)
+    assert p.object_location == (1.0, -2.0, 0.5 + 0.75)
+    assert p.object_rotation_euler == (0.1, 0.2, 0.3)
+    # hue 0 -> pure red object
+    np.testing.assert_allclose(p.object_rgba, (1.0, 0.0, 0.0, 1.0))
+    # spotlight at theta=pi/2 -> (4, 0, 7.5)
+    np.testing.assert_allclose(p.spotlight_location, (4.0, 0.0, 7.5), atol=1e-12)
+    # hue pi -> cyan-ish spotlight (h=0.5, s=0.8)
+    np.testing.assert_allclose(p.spotlight_rgb, colorsys_ref(0.5, 0.8, 1.0))
+    # sharding covers all indices exactly once
+    parts = [shard_indices(103, 4, i) for i in range(4)]
+    np.testing.assert_array_equal(np.concatenate(parts), np.arange(103))
+
+
+def colorsys_ref(h, s, v):
+    import colorsys
+
+    return colorsys.hsv_to_rgb(h, s, v)
+
+
+def test_checkpoint_manager(tmp_path):
+    import optax
+
+    from cl_ica_tpu.train import CheckpointManager, TrainState
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    opt = optax.adam(1e-3)
+    state = TrainState.create(params, opt.init(params), jax.random.PRNGKey(3))
+    state = state.replace(step=jnp.array(7, dtype=jnp.int32))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state)
+    assert mgr.latest_step == 7
+    zero = TrainState.create(
+        {"w": jnp.zeros((2, 3))}, opt.init(params), jax.random.PRNGKey(0)
+    )
+    restored = mgr.restore(zero)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(params["w"]))
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.key), np.asarray(state.key))
+    mgr.close()

@@ -29,7 +29,11 @@ from ..evaluation import linear_disentanglement, permutation_disentanglement
 from ..losses import LpSimCLRLoss, SimCLRLoss
 from ..models import construct_invertible_mlp, get_mlp
 from ..spaces import LatentSpace, NBoxSpace, NRealSpace, NSphereSpace
-from ..train import TrainState, Throughput, make_synthetic_train_step
+from ..train import (
+    TrainState,
+    Throughput,
+    make_scanned_synthetic_train_steps,
+)
 
 
 def parse_args(argv=None):
@@ -224,18 +228,24 @@ def main(argv=None):
         params = f.init(k_init, jnp.zeros((2, args.n)))
         optimizer = optax.adam(args.lr)
 
-        step_fn = make_synthetic_train_step(
+        # per-step dispatch would dominate this experiment's wall time on
+        # TPU (the fused step is ~100 µs of compute); scan n_log_steps
+        # training steps per device call — same math, one dispatch per
+        # eval window (the reference evaluates at step ≡ 1 mod n_log).
+        make_steps = lambda n_inner: make_scanned_synthetic_train_steps(
             latent_space.sample_pair,
             g,
             lambda p, x: f.apply(p, x),
             loss,
             optimizer,
             args.batch_size,
+            n_inner=n_inner,
             supervised=test,
         )
+        step_1 = make_steps(1)
+        step_chunk = make_steps(args.n_log_steps)
         root_key, k_train = jax.random.split(root_key)
         state = TrainState.create(params, optimizer.init(params), k_train)
-        h_fn = lambda z: f.apply(state.params, g(z))
         h_jit = jax.jit(lambda p, z: f.apply(p, g(z)))
 
         if not args.resume_training:
@@ -245,33 +255,42 @@ def main(argv=None):
 
         n_steps = args.n_steps if test else args.n_steps * args.more_unsupervised
         throughput = Throughput()
-        global_step = len(total_loss_values) + 1
-        while global_step <= n_steps:
-            state, metrics = step_fn(state)
-            total_loss_values.append(float(metrics["loss"]))
-            throughput.update(args.batch_size)
-            if global_step % args.n_log_steps == 1 or global_step == n_steps:
-                root_key, k_eval = jax.random.split(root_key)
-                lin, perm = evaluate_scores(
-                    latent_space, lambda z: h_jit(state.params, z), k_eval
-                )
-                linear_scores.append(lin)
-                perm_scores.append(perm)
-                pps = throughput.pairs_per_sec
-                print(
-                    f"Step: {global_step} \t",
-                    f"Loss: {total_loss_values[-1]:.4f} \t",
-                    f"<Loss>: {np.mean(total_loss_values[-args.n_log_steps:]):.4f} \t",
-                    f"Lin. Disentanglement: {lin:.4f} \t",
-                    f"Perm. Disentanglement: {perm:.4f}"
-                    + (f" \t pairs/s: {pps:.0f}" if pps else ""),
-                    flush=True,
-                )
-            else:
-                if linear_scores:
-                    linear_scores.append(linear_scores[-1])
-                    perm_scores.append(perm_scores[-1])
-            global_step += 1
+
+        def run_chunk(fn, n):
+            nonlocal state
+            state, metrics = fn(state)
+            total_loss_values.extend(np.asarray(metrics["loss"]).tolist())
+            throughput.update(args.batch_size * n)
+
+        def do_eval():
+            nonlocal root_key
+            root_key, k_eval = jax.random.split(root_key)
+            lin, perm = evaluate_scores(
+                latent_space, lambda z: h_jit(state.params, z), k_eval
+            )
+            linear_scores.append(lin)
+            perm_scores.append(perm)
+            pps = throughput.pairs_per_sec
+            print(
+                f"Step: {len(total_loss_values)} \t",
+                f"Loss: {total_loss_values[-1]:.4f} \t",
+                f"<Loss>: {np.mean(total_loss_values[-args.n_log_steps:]):.4f} \t",
+                f"Lin. Disentanglement: {lin:.4f} \t",
+                f"Perm. Disentanglement: {perm:.4f}"
+                + (f" \t pairs/s: {pps:.0f}" if pps else ""),
+                flush=True,
+            )
+
+        # step 1 + eval, then full n_log_steps chunks with eval after each
+        run_chunk(step_1, 1)
+        do_eval()
+        while len(total_loss_values) + args.n_log_steps <= n_steps:
+            run_chunk(step_chunk, args.n_log_steps)
+            do_eval()
+        while len(total_loss_values) < n_steps:
+            run_chunk(step_1, 1)
+        if len(total_loss_values) % args.n_log_steps != 1:
+            do_eval()  # final eval at n_steps (reference: global_step == n_steps)
 
         if args.save_dir:
             os.makedirs(args.save_dir, exist_ok=True)

@@ -13,6 +13,7 @@ ad-hoc torch.save schemes (SURVEY.md §5).
 from .state import TrainState
 from .trainer import (
     make_synthetic_train_step,
+    make_scanned_synthetic_train_steps,
     make_data_train_step,
     Throughput,
 )
@@ -22,6 +23,7 @@ from .metrics import MetricsLogger
 __all__ = [
     "TrainState",
     "make_synthetic_train_step",
+    "make_scanned_synthetic_train_steps",
     "make_data_train_step",
     "Throughput",
     "CheckpointManager",

@@ -70,6 +70,59 @@ def make_synthetic_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_scanned_synthetic_train_steps(
+    sample_pair: Callable,
+    mixing: Callable,
+    apply_encoder: Callable,
+    loss_fn,
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    n_inner: int,
+    supervised: bool = False,
+    donate: bool = True,
+):
+    """n_inner fused training steps per device call via lax.scan.
+
+    The synthetic step is ~100 µs of compute at n=10 — per-step Python
+    dispatch (host round-trip) dominates wall time by 10-100x. Scanning
+    n_inner steps (naturally = the eval interval n_log_steps) amortizes
+    dispatch to one call per eval window. Returns
+    step(state) -> (state, metrics) where metrics entries have a leading
+    (n_inner,) axis (losses of every inner step, for the reference's
+    per-step loss traces)."""
+
+    def one_step(state: TrainState, _):
+        key, k_data = jax.random.split(state.key)
+        z1, z2 = sample_pair(k_data, batch_size)
+        z3 = jnp.roll(z1, 1, axis=0)
+
+        def objective(params):
+            h = lambda z: apply_encoder(params, mixing(z))
+            z1_rec = h(z1)
+            z2_rec = h(z2)
+            z3_rec = jnp.roll(z1_rec, 1, axis=0)
+            if supervised:
+                total = jnp.mean((z1_rec - z1) ** 2)
+                return total, (total, total)
+            total, _, comps = loss_fn(z1, z2, z3, z1_rec, z2_rec, z3_rec)
+            return total, (comps[0], comps[1])
+
+        (total, (pos, neg)), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
+
+    def steps(state: TrainState):
+        return jax.lax.scan(one_step, state, None, length=n_inner)
+
+    return jax.jit(steps, donate_argnums=(0,) if donate else ())
+
+
 def make_data_train_step(
     apply_encoder: Callable,  # (params, batch_stats, x, train) -> (z, new_batch_stats)
     loss_fn,

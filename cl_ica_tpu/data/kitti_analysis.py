@@ -89,6 +89,20 @@ def factor_mutual_information(latents: np.ndarray, n_neighbors: int = 3):
     return mi
 
 
+def load_csv(path: str) -> np.ndarray:
+    """Load a KITTI solver log.csv ('Total Loss' header + one float per
+    logged window) — the format written by cli/kitti_solver.py, mirroring
+    the reference (solver.py:57-58; parsed by data_analysis_utils.py:24-78)."""
+    values = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or not line[0].isdigit() and line[0] != "-":
+                continue
+            values.append(float(line))
+    return np.asarray(values)
+
+
 def generate_dataframe(dataset, max_delta_t: int = 1):
     """Summary table as a pandas DataFrame (optional dependency)."""
     import pandas as pd

@@ -73,17 +73,11 @@ def pairwise_lp_distance(
     def block_fn(z1_blk):
         diff = jnp.abs(z1_blk[:, None, :] - z3[None, :, :] + eps)
         if p == 1.0:
-            d = jnp.sum(diff, axis=-1)
-            return d  # |.|^1 == |.|
+            return jnp.sum(diff, axis=-1)  # |.|^1 == |.|, pow_ irrelevant
         dp = jnp.sum(diff**p, axis=-1)
         return dp if pow_ else dp ** (1.0 / p)
 
-    out = _row_block_map(block_fn, z1, block_size)
-    if p == 1.0 and not pow_:
-        return out
-    if p == 1.0:
-        return out
-    return out
+    return _row_block_map(block_fn, z1, block_size)
 
 
 class CLLoss(ABC):

@@ -14,12 +14,17 @@ global-negative semantics exactly while the collective rides ICI.
 """
 
 from .mesh import make_mesh, data_sharding, replicated
-from .sharded import make_sharded_synthetic_train_step, shard_batch
+from .sharded import (
+    make_sharded_synthetic_train_step,
+    make_sharded_data_train_step,
+    shard_batch,
+)
 
 __all__ = [
     "make_mesh",
     "data_sharding",
     "replicated",
     "make_sharded_synthetic_train_step",
+    "make_sharded_data_train_step",
     "shard_batch",
 ]

@@ -100,7 +100,7 @@ def make_sharded_synthetic_train_step(
     if model_axis is None:
         state_shardings = TrainState(
             params=rep, opt_state=rep, step=rep, key=rep, batch_stats=None
-        )
+        )  # pure DP
     else:
         assert example_state is not None, "model_axis requires example_state"
         rule = _tp_rule(mesh, model_axis)
@@ -114,6 +114,58 @@ def make_sharded_synthetic_train_step(
     return jax.jit(
         step,
         in_shardings=(state_shardings,),
+        out_shardings=(state_shardings, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_data_train_step(
+    mesh: Mesh,
+    apply_encoder,  # (params, batch_stats, x, train) -> (z, new_batch_stats)
+    loss_fn,
+    optimizer: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Data-parallel step for host-fed image batches (3DIdent / KITTI at
+    scale): x1/x2 arrive row-sharded over 'data' (use shard_batch), the
+    encoder runs fully local per chip, and the InfoNCE negatives are
+    globally gathered by GSPMD — the exact multi-chip analog of the
+    reference's DataParallel-with-global-loss (main_3dident.py:373).
+    BatchNorm stats are averaged implicitly through the 2B combined
+    forward + psum."""
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    def step(state: TrainState, x1, x2) -> Tuple[TrainState, dict]:
+        b = x1.shape[0]
+
+        def objective(params):
+            x = jax.lax.with_sharding_constraint(
+                jnp.concatenate([x1, x2], axis=0), dsh
+            )
+            z, bs = apply_encoder(params, state.batch_stats, x, True)
+            z1_rec, z2_rec = z[:b], z[b:]
+            z3_rec = jnp.roll(z1_rec, 1, axis=0)
+            total, _, comps = loss_fn(None, None, None, z1_rec, z2_rec, z3_rec)
+            return total, (comps[0], comps[1], bs)
+
+        (total, (pos, neg, batch_stats)), grads = jax.value_and_grad(
+            objective, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1,
+            batch_stats=batch_stats,
+        )
+        return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
+
+    state_shardings = TrainState(
+        params=rep, opt_state=rep, step=rep, key=rep, batch_stats=rep
+    )
+    return jax.jit(
+        step,
+        in_shardings=(state_shardings, dsh, dsh),
         out_shardings=(state_shardings, rep),
         donate_argnums=(0,) if donate else (),
     )

@@ -111,3 +111,37 @@ def test_mesh_shapes():
     mesh2 = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
     assert mesh2.devices.shape == (4, 2)
     assert mesh2.axis_names == ("data", "model")
+
+
+def test_sharded_data_train_step():
+    """Image-path DP: conv encoder on row-sharded batches with global
+    negatives; matches single-device step."""
+    from cl_ica_tpu.models import ConvEncoder64
+    from cl_ica_tpu.parallel import make_sharded_data_train_step, shard_batch
+    from cl_ica_tpu.train import make_data_train_step
+
+    net = ConvEncoder64(z_dim=3, nc=1)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 1)))
+    loss = LpSimCLRLoss(p=1.0, simclr_compatibility_mode=True)
+    opt_ = optax.adam(1e-3)
+
+    def apply_enc(p, bs, x, train):
+        return net.apply(p, x), bs
+
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (16, 64, 64, 1))
+    x2 = x1 + 0.05
+
+    single = make_data_train_step(apply_enc, loss, opt_, donate=False)
+    s0 = TrainState.create(params, opt_.init(params), jax.random.PRNGKey(2),
+                           batch_stats={})
+    s1, m1 = single(s0, x1, x2)
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_data_train_step(mesh, apply_enc, loss, opt_,
+                                           donate=False)
+    s2, m2 = sharded(s0, shard_batch(mesh, x1), shard_batch(mesh, x2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # atol 2*lr: Adam's step-1 update is ~±lr*sign(grad); for near-zero
+    # conv grads, cross-replica reduction-order noise can flip the sign
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)

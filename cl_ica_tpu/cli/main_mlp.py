@@ -213,7 +213,6 @@ def main(argv=None):
     total_loss_values = []
     linear_scores = []
     perm_scores = []
-    h_fn = None
 
     for phase_idx, test in enumerate(test_list):
         print(f"supervised test: {test}")

@@ -31,7 +31,6 @@ import numpy as np
 import optax
 
 from ..data import (
-    InfiniteIterator,
     SequentialThreeDIdent,
     ThreeDIdentBatchSampler,
     normalize_3dident,
@@ -42,7 +41,7 @@ from ..models import construct_invertible_mlp, get_mlp
 from ..models.layers import RescaleLayer, SoftclipLayer
 from ..models.resnet import ResNet18, ResNet50, ResNet101, ResNet152
 from ..spaces import LatentSpace, NBoxSpace, NSphereSpace, ProductLatentSpace
-from ..train import TrainState, Throughput
+from ..train import Throughput
 
 import flax.linen as nn
 

@@ -10,7 +10,7 @@ training path.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import scipy.stats as sps

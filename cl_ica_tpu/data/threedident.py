@@ -20,9 +20,8 @@ TPU redesign of the reference's per-sample hot path (SURVEY.md §3.2):
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ disentanglement_utils.py:74-77).
 from __future__ import annotations
 
 import itertools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import scipy.stats as sps

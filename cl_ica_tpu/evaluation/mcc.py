@@ -9,7 +9,7 @@ row-major (dim × samples) convention and noise-row padding semantics
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 import scipy.stats as sps

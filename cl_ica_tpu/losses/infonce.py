@@ -25,7 +25,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def logmeanexp(x, axis):

@@ -9,7 +9,6 @@ NCHW; kaiming-normal init matches kitti_masks/model.py:102-106.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from .layers import SoftclipLayer
 

@@ -7,8 +7,6 @@ invertible_network_utils.py:43-49.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

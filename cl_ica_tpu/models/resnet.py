@@ -14,7 +14,7 @@ bfloat16 compute dtype for MXU throughput (params stay fp32).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import dataclasses
 from abc import ABC, abstractmethod
-from functools import partial
 
 import jax
 import jax.numpy as jnp

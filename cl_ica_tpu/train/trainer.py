@@ -13,7 +13,6 @@ Negatives follow the reference trick z3_rec = roll(z1_rec, 1)
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -9,7 +9,6 @@ from __future__ import annotations
 import functools
 import os
 
-import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
 

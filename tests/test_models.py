@@ -126,3 +126,15 @@ def test_resnet18_shapes():
         variables, jnp.ones((2, 64, 64, 3)), train=True, mutable=["batch_stats"]
     )
     assert "batch_stats" in mutated
+
+
+def test_resnet_s2d_stem():
+    model = ResNet18(num_classes=10, stem="s2d")
+    variables = model.init(key, jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(variables, jnp.ones((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 10)
+    # same output resolution as conv7/2 stem -> same downstream shapes
+    m2 = ResNet18(num_classes=10)
+    v2 = m2.init(key, jnp.zeros((1, 64, 64, 3)))
+    out2 = m2.apply(v2, jnp.ones((2, 64, 64, 3)), train=False)
+    assert out.shape == out2.shape

@@ -22,13 +22,24 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.kitti import KittiMasks, augment_mask_pairs
+from ..data.kitti import (
+    KittiDeviceSampler,
+    KittiMasks,
+    augment_mask_pairs,
+    augment_mask_pairs_fast,
+)
 from ..losses import LpSimCLRLoss
 from ..models import ConvEncoder64
 
 
 class Solver:
-    def __init__(self, args, dataset: KittiMasks):
+    """device_sampling=True (default) holds the whole mask corpus in HBM
+    (data.kitti.KittiDeviceSampler) and scans log_step training steps per
+    device call — sampling, paired augmentation, encoding, loss and Adam
+    fuse into one XLA program with no host data path. Set False for the
+    host-fed per-step path (needed only if the corpus outgrew HBM)."""
+
+    def __init__(self, args, dataset: KittiMasks, device_sampling: bool = True):
         self.ckpt_dir = args.ckpt_dir
         self.output_dir = args.output_dir
         self.dataset = dataset
@@ -54,6 +65,47 @@ class Solver:
         self.np_rng = np.random.default_rng(args.seed)
 
         net, loss, optim, augment = self.net, self.loss, self.optim, self.augment
+
+        self.device_sampler = None
+        if device_sampling:
+            self.device_sampler = KittiDeviceSampler(dataset)
+            sampler = self.device_sampler
+            pairs = self.batch_pairs
+
+            def one_step(carry, _):
+                params, opt_state, key = carry
+                key, k_data, k_aug = jax.random.split(key, 3)
+                x1_u8, x2_u8, _, _ = sampler.sample_batch(k_data, pairs)
+                if augment:
+                    # fast variant: shared-index rotation + integer-grid
+                    # translation (see data.kitti.augment_mask_pairs_fast)
+                    x1, x2 = augment_mask_pairs_fast(k_aug, x1_u8, x2_u8)
+                else:
+                    x1 = x1_u8.astype(jnp.float32) / 255.0
+                    x2 = x2_u8.astype(jnp.float32) / 255.0
+
+                def objective(p):
+                    z = net.apply(p, jnp.concatenate([x1, x2], 0)[..., None])
+                    z1_rec, z2_rec = z[:pairs], z[pairs:]
+                    z3_rec = jnp.roll(z1_rec, 1, axis=0)
+                    total, _, _ = loss(None, None, None, z1_rec, z2_rec, z3_rec)
+                    return total
+
+                total, grads = jax.value_and_grad(objective)(params)
+                updates, new_opt = optim.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), new_opt, key), total
+
+            n_inner = max(1, min(self.log_step, self.save_step))
+
+            @jax.jit
+            def chunk(params, opt_state, key):
+                (params, opt_state, key), losses = jax.lax.scan(
+                    one_step, (params, opt_state, key), None, length=n_inner
+                )
+                return params, opt_state, key, losses
+
+            self._chunk = chunk
+            self._n_inner = n_inner
 
         @jax.jit
         def step(params, opt_state, key, x1_u8, x2_u8):
@@ -85,10 +137,35 @@ class Solver:
     def train(self) -> bool:
         failure = False
         running_loss = 0.0
+        running_count = 0
         log = open(os.path.join(self.output_dir, "log.csv"), "a", 1)
         log.write("Total Loss\n")
 
+        def on_progress(losses):
+            nonlocal running_loss, running_count
+            for v in losses:
+                running_loss += float(v)
+                running_count += 1
+                self.global_iter += 1
+                if self.global_iter % self.log_step == 0:
+                    log.write("%.6f\n" % (running_loss / running_count))
+                    running_loss = 0.0
+                    running_count = 0
+                if self.global_iter % self.save_step == 0:
+                    self.save_checkpoint("last")
+                if self.global_iter % 50000 == 0:
+                    self.save_checkpoint(str(self.global_iter))
+
         while self.global_iter < self.max_iter:
+            if self.device_sampler is not None:
+                n = min(self._n_inner, self.max_iter - self.global_iter)
+                if n == self._n_inner:
+                    self.params, self.opt_state, self.key, losses = self._chunk(
+                        self.params, self.opt_state, self.key
+                    )
+                    on_progress(np.asarray(losses).tolist())
+                    continue
+            # host-fed per-step path (also used for ragged final steps)
             x1, x2, _, _ = self.dataset.sample_pair_batch(
                 self.batch_pairs, self.np_rng
             )
@@ -96,15 +173,7 @@ class Solver:
                 self.params, self.opt_state, self.key,
                 jnp.asarray(x1), jnp.asarray(x2),
             )
-            running_loss += float(total)
-            self.global_iter += 1
-            if self.global_iter % self.log_step == 0:
-                log.write("%.6f\n" % (running_loss / self.log_step))
-                running_loss = 0.0
-            if self.global_iter % self.save_step == 0:
-                self.save_checkpoint("last")
-            if self.global_iter % 50000 == 0:
-                self.save_checkpoint(str(self.global_iter))
+            on_progress([total])
         log.close()
         self.save_checkpoint("last")
         return failure

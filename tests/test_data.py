@@ -172,3 +172,22 @@ def test_interleave(key):
 def test_infinite_iterator():
     it = InfiniteIterator([1, 2, 3])
     assert [next(it) for _ in range(7)] == [1, 2, 3, 1, 2, 3, 1]
+
+
+def test_kitti_device_sampler(kitti_root, key):
+    from cl_ica_tpu.data.kitti import KittiDeviceSampler
+
+    ds = KittiMasks(path=kitti_root, download=False)
+    sampler = KittiDeviceSampler(ds)
+    assert sampler.n_pairs == len(ds)
+    x1, x2, l1, l2 = jax.jit(
+        lambda k: sampler.sample_batch(k, 32)
+    )(key)
+    assert x1.shape == (32, 64, 64) and x1.dtype == jnp.uint8
+    assert set(np.unique(np.asarray(x1))) <= {0, 255}
+    assert l1.shape == (32, 3)
+    # end frames must come from the same sequence and be >= start
+    # (statistical check: latents of start/end pairs share sequences,
+    # verified structurally: end index clamped to the sequence last)
+    x1b, x2b, _, _ = sampler.sample_batch(key, 32)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x1b))  # deterministic

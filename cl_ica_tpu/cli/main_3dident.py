@@ -492,10 +492,26 @@ def main(argv=None):
     throughput = Throughput()
     total_loss_values = []
 
+    prefetcher = None
+    if args.mode == "unsupervised" and load_images:
+        from ..data import PrefetchingPairLoader
+
+        root_key, k_loader = jax.random.split(root_key)
+        prefetcher = PrefetchingPairLoader(sampler, k_loader)
+
+    def next_train_batch(k):
+        """Training batches: prefetched (double-buffered host pipeline)
+        when images are in play; direct otherwise."""
+        if prefetcher is not None:
+            (z, zt), (x, xt) = next(prefetcher)
+            return (z, normalize_3dident(jnp.asarray(x)),
+                    zt, normalize_3dident(jnp.asarray(xt)))
+        return make_batch(k)
+
     if args.mode == "unsupervised":
         for step in range(args.iterations):
             root_key, k = jax.random.split(root_key)
-            z1, x1, z2, x2 = make_batch(k)
+            z1, x1, z2, x2 = next_train_batch(k)
             if args.identity_mixing_and_solution:
                 total = float(
                     split_loss(z1 * identity_scale, z2 * identity_scale,
@@ -560,6 +576,8 @@ def main(argv=None):
         print(f"Lin. Disentanglement: {lin}, MCC: {mcc}, MSE: {mse}, "
               f"lin. fit MSE: {lin_mse}")
 
+    if prefetcher is not None:
+        prefetcher.close()
     if args.save_model is not None:
         save_model(args.save_model)
         print(f"Saving final model at: {args.save_model}")

@@ -8,6 +8,7 @@ augmentation as jitted device code instead of per-sample PIL transforms.
 """
 
 from .threedident import (
+    PrefetchingPairLoader,
     ThreeDIdentBatchSampler,
     SequentialThreeDIdent,
     PackedImageStore,
@@ -21,6 +22,7 @@ from .infinite_iterator import InfiniteIterator
 
 __all__ = [
     "ThreeDIdentBatchSampler",
+    "PrefetchingPairLoader",
     "SequentialThreeDIdent",
     "PackedImageStore",
     "pack_images",

@@ -219,3 +219,56 @@ class SequentialThreeDIdent:
         z = self.latents[indices]
         x = self.images.gather(indices) if self.images else None
         return z, x
+
+
+class PrefetchingPairLoader:
+    """Double-buffered host-side pipeline over ThreeDIdentBatchSampler.
+
+    While the accelerator executes step t, a worker thread runs the NN
+    matching for step t+1 and gathers its images (the C++ packed gatherer
+    releases the GIL, so the copy overlaps Python and device work). The
+    TPU-side analog of the reference's DataLoader worker pool
+    (main_3dident.py:843-848) with batch-granular work items instead of
+    per-sample ones.
+    """
+
+    def __init__(self, sampler: ThreeDIdentBatchSampler, key, depth: int = 2):
+        import queue
+        import threading
+
+        self._sampler = sampler
+        self._queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._key = key
+
+        def worker():
+            key = self._key
+            while not self._stop.is_set():
+                key, sub = jax.random.split(key)
+                idx_z, idx_zt, z, zt = sampler.sample_latent_batch(sub)
+                x = sampler.images.gather(np.asarray(idx_z))
+                xt = sampler.images.gather(np.asarray(idx_zt))
+                item = ((z, zt), (x, xt))
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._queue.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except Exception:
+            pass

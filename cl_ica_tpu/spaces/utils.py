@@ -90,6 +90,7 @@ def truncated_rejection_resampling(
     size: int,
     n: int,
     max_iters: int = 128,
+    buffer_size_factor: int = 1,
 ):
     """Elementwise rejection resampling onto the box [min_, max_]^n.
 
@@ -100,6 +101,9 @@ def truncated_rejection_resampling(
     it compiles into the surrounding jit. ``max_iters`` bounds the loop
     (acceptance per draw is ≥ the truncated mass, so for the
     concentrations used in practice a handful of iterations suffice).
+    ``buffer_size_factor`` is the reference's memory/latency trade-off
+    (the ``--rej-mult`` knob): draw factor×size candidates per loop
+    iteration, folding them in order.
     """
 
     def cond(state):
@@ -109,11 +113,14 @@ def truncated_rejection_resampling(
     def body(state):
         key, result, done, it = state
         key, sub = jax.random.split(key)
-        buf = sampler_fn(sub, size)
+        buf = sampler_fn(sub, size * buffer_size_factor)
+        buf = buf.reshape(buffer_size_factor, size, n)
         ok = (buf >= min_) & (buf <= max_)
-        take = ok & ~done
-        result = jnp.where(take, buf, result)
-        return key, result, done | take, it + 1
+        for i in range(buffer_size_factor):
+            take = ok[i] & ~done
+            result = jnp.where(take, buf[i], result)
+            done = done | take
+        return key, result, done, it + 1
 
     init = (
         key,

@@ -78,3 +78,11 @@ def sample_vmf(key, mu, kappa, num_samples: int):
     w = _sample_weights(kw, kappa, dim, num_samples)
     v = _sample_orthonormal_to(kv, mu)
     return v * jnp.sqrt(jnp.maximum(1.0 - w**2, 0.0))[:, None] + w[:, None] * mu
+
+
+def sample_vmf_sequential(key, mu, kappa, num_samples: int):
+    """API-parity alias for the reference's sequential variant
+    (vmf.py:18-45). The vectorized sampler is used under the hood — the
+    sequential path existed only because numpy rejection loops don't
+    vectorize; under jit the distinction disappears."""
+    return sample_vmf(key, mu, kappa, num_samples)

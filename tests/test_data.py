@@ -191,3 +191,16 @@ def test_kitti_device_sampler(kitti_root, key):
     # verified structurally: end index clamped to the sequence last)
     x1b, x2b, _, _ = sampler.sample_batch(key, 32)
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x1b))  # deterministic
+
+
+def test_prefetching_pair_loader(threedident_root, key):
+    from cl_ica_tpu.data import PrefetchingPairLoader
+
+    ls = _latent_space()
+    sampler = ThreeDIdentBatchSampler(threedident_root, ls, 8)
+    loader = PrefetchingPairLoader(sampler, key)
+    for _ in range(3):
+        (z, zt), (x, xt) = next(loader)
+        assert x.shape == (8, 8, 8, 3) and x.dtype == np.uint8
+        assert np.asarray(z).shape == (8, 4)
+    loader.close()

@@ -14,6 +14,7 @@ global-negative semantics exactly while the collective rides ICI.
 """
 
 from .mesh import make_mesh, data_sharding, replicated
+from .collective import sharded_lp_neg_lse, sharded_lp_simclr_loss
 from .sharded import (
     make_sharded_synthetic_train_step,
     make_sharded_data_train_step,
@@ -27,4 +28,6 @@ __all__ = [
     "make_sharded_synthetic_train_step",
     "make_sharded_data_train_step",
     "shard_batch",
+    "sharded_lp_neg_lse",
+    "sharded_lp_simclr_loss",
 ]

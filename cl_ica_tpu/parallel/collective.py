@@ -1,0 +1,96 @@
+"""Explicit-collective InfoNCE via shard_map.
+
+The GSPMD path (parallel.sharded) lets XLA place the all-gather; this
+module is the hand-written equivalent for when explicit control is
+wanted — e.g. to run the fused Pallas kernel per shard (Pallas calls
+can't be auto-partitioned by GSPMD):
+
+  rows of the B×B similarity matrix stay local to each chip; the
+  negatives' codes (n·B floats — tiny) ride one all_gather over ICI;
+  each chip computes its row-block logsumexp (optionally with the
+  streaming Pallas kernel) and the mean reduces with one psum.
+
+This is SURVEY.md §2.3's "TPU-native equivalent" made concrete: mesh +
+shard_map + {all_gather, psum}, no NCCL analog anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses.infonce import pairwise_lp_distance
+
+
+def sharded_lp_neg_lse(
+    mesh: Mesh,
+    p: float,
+    tau: float,
+    axis: str = "data",
+    use_pallas: bool = None,
+):
+    """Returns fn(z1_sharded, z3_sharded) -> per-row lse, row-sharded.
+
+    lse_i = log Σ_j exp(-||z1_i - z3_j||_p^p / τ) over the GLOBAL batch.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and p != 2.0
+
+    def local_fn(z1_local, z3_local):
+        z3_global = jax.lax.all_gather(z3_local, axis, tiled=True)
+        if use_pallas:
+            from ..ops.infonce_pallas import fused_neg_lse
+
+            return fused_neg_lse(z1_local, z3_global, p, tau)
+        d = pairwise_lp_distance(z1_local, z3_global, p, pow_=True)
+        return jax.scipy.special.logsumexp(-d / tau, axis=1)
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+    )
+
+
+def sharded_lp_simclr_loss(
+    mesh: Mesh,
+    p: float,
+    tau: float = 1.0,
+    alpha: float = 0.5,
+    axis: str = "data",
+    use_pallas: bool = None,
+):
+    """Full LpSimCLR (simclr-compatibility mode) with explicit
+    collectives: returns fn(z1_rec, z2_rec, z3_rec) -> scalar mean loss,
+    inputs row-sharded over `axis`, negatives global."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and p != 2.0
+
+    def local_fn(z1_local, z2_local, z3_local):
+        z3_global = jax.lax.all_gather(z3_local, axis, tiled=True)
+        pos = jnp.sum(jnp.abs(z1_local - z2_local) ** p, axis=-1)
+        if use_pallas:
+            from ..ops.infonce_pallas import fused_neg_lse
+
+            lse = fused_neg_lse(z1_local, z3_global, p, tau)
+        else:
+            d = pairwise_lp_distance(z1_local, z3_global, p, pow_=True)
+            lse = jax.scipy.special.logsumexp(-d / tau, axis=1)
+        loss_neg = jnp.logaddexp(lse, -pos / tau)  # pos column folded in
+        loss = 2 * (alpha * pos / tau + (1 - alpha) * loss_neg)
+        return jax.lax.pmean(jnp.mean(loss), axis)  # psum/n over ICI
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(),
+        )
+    )

@@ -145,3 +145,35 @@ def test_sharded_data_train_step():
     # conv grads, cross-replica reduction-order noise can flip the sign
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_explicit_collective_lse_matches_global():
+    from cl_ica_tpu.parallel import sharded_lp_neg_lse, shard_batch
+    from cl_ica_tpu.losses import pairwise_lp_distance
+    import jax.scipy.special as jsp
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    z1 = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    z3 = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    fn = sharded_lp_neg_lse(mesh, 1.0, 0.7, use_pallas=False)
+    out = fn(shard_batch(mesh, z1), shard_batch(mesh, z3))
+    d = pairwise_lp_distance(z1, z3, 1.0, pow_=True, block_size=None)
+    exp = jsp.logsumexp(-d / 0.7, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), rtol=1e-5)
+
+
+def test_explicit_collective_full_loss_matches():
+    from cl_ica_tpu.parallel import sharded_lp_simclr_loss, shard_batch
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    z1 = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    z2 = z1 + 0.1
+    z3 = jnp.roll(z1, 1, axis=0)
+    fn = sharded_lp_simclr_loss(mesh, 1.0, use_pallas=False)
+    out = float(fn(shard_batch(mesh, z1), shard_batch(mesh, z2),
+                   shard_batch(mesh, z3)))
+    ref = LpSimCLRLoss(p=1.0, simclr_compatibility_mode=True, use_fused=False)
+    exp, _, _ = ref(None, None, None, z1, z2, z3)
+    np.testing.assert_allclose(out, float(exp), rtol=1e-5)

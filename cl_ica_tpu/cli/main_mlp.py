@@ -145,9 +145,24 @@ def build_latent_space(args) -> LatentSpace:
     return LatentSpace(space, sample_marginal, sample_conditional)
 
 
+_marginal_jit_cache = {}
+
+
+def _jit_marginal(latent_space):
+    """Cached jitted marginal sampler (eager rejection/vMF while_loops
+    dispatch op-by-op — pathological on remote-dispatch backends)."""
+    fn = _marginal_jit_cache.get(id(latent_space))
+    if fn is None:
+        fn = jax.jit(
+            lambda k, n: latent_space.sample_marginal(k, n), static_argnums=(1,)
+        )
+        _marginal_jit_cache[id(latent_space)] = fn
+    return fn
+
+
 def evaluate_scores(latent_space, h_fn, key, n_samples=4096):
     """Eval on fresh marginal samples (main_mlp.py:334-356)."""
-    z = latent_space.sample_marginal(key, n_samples)
+    z = _jit_marginal(latent_space)(key, n_samples)
     hz = np.asarray(h_fn(z))
     z = np.asarray(z)
     (lin, _), _ = linear_disentanglement(z, hz, mode="r2")
@@ -305,9 +320,14 @@ def main(argv=None):
     # final mean/std over num_eval_batches (main_mlp.py:383-416)
     final_linear, final_perm = [], []
     h_final = jax.jit(lambda z: f.apply(final_params, g(z)))
+    # jit the sampler: eager rejection/vMF while_loops dispatch op-by-op
+    # (pathological on remote-dispatch backends)
+    sample_pair_jit = jax.jit(
+        lambda k: latent_space.sample_pair(k, args.batch_size)
+    )
     for i in range(args.num_eval_batches):
         root_key, k1 = jax.random.split(root_key)
-        z1, _ = latent_space.sample_pair(k1, args.batch_size)
+        z1, _ = sample_pair_jit(k1)
         z1_rec = np.asarray(h_final(z1))
         z1 = np.asarray(z1)
         (lin, _), _ = linear_disentanglement(z1, z1_rec, mode="r2")

@@ -331,11 +331,13 @@ def main(argv=None):
     )
 
     g = None
+    g_jit = None
     if args.dummy_mixing:
         g = construct_invertible_mlp(
             n_latents, n_layers=3, act_fct="leaky_relu",
             cond_thresh_ratio=0.0, n_iter_cond_thresh=25000, rng=np_rng,
         )
+        g_jit = jax.jit(g)  # eager per-step mixing would cost 3 dispatches
 
     dims = latent_dims_to_use(args)
     print("Using latent dimensions:", dims)
@@ -417,7 +419,7 @@ def main(argv=None):
             x = normalize_3dident(jnp.asarray(sampler.images.gather(np.asarray(idx_z))))
             xt = normalize_3dident(jnp.asarray(sampler.images.gather(np.asarray(idx_zt))))
         elif args.dummy_mixing:
-            x, xt = g(z), g(zt)
+            x, xt = g_jit(z), g_jit(zt)
         else:  # identity mixing
             x, xt = z, zt
         return z, x, zt, xt

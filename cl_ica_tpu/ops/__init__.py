@@ -12,7 +12,7 @@ and FAISS's C++/OpenMP k-NN for the 3DIdent pair matcher.
   IndexFlatL2 replacement), jitted matmul + windowed top-k.
 """
 
-from .infonce_pallas import fused_neg_lse, pallas_available
+from .infonce_pallas import fused_dot_lse, fused_neg_lse, pallas_available
 from .knn import l2_topk
 
-__all__ = ["fused_neg_lse", "pallas_available", "l2_topk"]
+__all__ = ["fused_neg_lse", "fused_dot_lse", "pallas_available", "l2_topk"]

@@ -259,3 +259,178 @@ def _fwd_rule(z1, z3, p, tau, block, interpret):
 
 
 fused_neg_lse.defvjp(_fwd_rule, _bwd)
+
+
+# ---------------- dot-product (SimCLR) variant ----------------
+#
+# lse_i = log Σ_j exp(z1_i · z3_j / τ): the p=0 path (SimCLRLoss). The
+# similarity tile rides the MXU (pl-level matmul) with the same online
+# logsumexp; backward reuses the softmax-weights structure:
+#   dz1 = (c ⊙ W) @ z3 / τ,   dz3 = (c ⊙ W)ᵀ @ z1 / τ
+# both again MXU matmuls, accumulated tile by tile.
+
+
+def _dot_fwd_kernel(nvalid_ref, z1_ref, z3t_ref, out_ref, m_s, s_s, *, tau, bn):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        s_s[:] = jnp.zeros_like(s_s)
+
+    x = jnp.dot(z1_ref[:], z3t_ref[:], preferred_element_type=jnp.float32) / tau
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + j * bn
+    x = jnp.where(col < nvalid_ref[0], x, NEG_INF)
+
+    m_old = m_s[:, 0]
+    m_new = jnp.maximum(m_old, jnp.max(x, axis=1))
+    s_s[:, 0] = s_s[:, 0] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(x - m_new[:, None]), axis=1
+    )
+    m_s[:, 0] = m_new
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:, 0] = m_s[:, 0] + jnp.log(s_s[:, 0])
+
+
+def _dot_dz1_kernel(
+    nvalid_ref, z1_ref, z3t_ref, lse_ref, ct_ref, out_ref, acc, *, tau, bn
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = jnp.dot(z1_ref[:], z3t_ref[:], preferred_element_type=jnp.float32) / tau
+    w = jnp.exp(x - lse_ref[:, 0][:, None])
+    col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * bn
+    w = jnp.where(col < nvalid_ref[0], w, 0.0)
+    cw = w * (ct_ref[:, 0] / tau)[:, None]
+    acc[:] += jnp.dot(cw, z3t_ref[:].T, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = acc[:]
+
+
+def _dot_dz3_kernel(
+    nvalid_ref, z3t_ref, z1_ref, lse_ref, ct_ref, out_ref, acc, *, tau, bm
+):
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = jnp.dot(z1_ref[:], z3t_ref[:], preferred_element_type=jnp.float32) / tau
+    w = jnp.exp(x - lse_ref[:, 0][:, None])
+    row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * bm
+    w = jnp.where(row < nvalid_ref[0], w, 0.0)
+    cw = w * (ct_ref[:, 0] / tau)[:, None]  # (BM, BN)
+    # dz3ᵀ accumulation: (n, BM) @ (BM, BN) -> (n, BN)
+    acc[:] += jnp.dot(z1_ref[:].T, cw, preferred_element_type=jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _():
+        out_ref[:] = acc[:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_dot_lse(z1, z3, tau: float, block: int = 512, interpret: bool = False):
+    """lse_i = log Σ_j exp(z1_i · z3_j / τ), shape (B,) — the SimCLR
+    negatives term, streamed through VMEM (B×B never touches HBM)."""
+    out, _ = _dot_fwd(z1, z3, tau, block, interpret)
+    return out
+
+
+def _dot_fwd(z1, z3, tau, block, interpret):
+    b, n_feat = z1.shape
+    z1p = _pad_rows(z1.astype(jnp.float32), block)
+    z3t = _pad_rows(z3.astype(jnp.float32), block).T
+    bp = z1p.shape[0]
+    nb = bp // block
+    nvalid = jnp.array([z3.shape[0]], dtype=jnp.int32)
+    lse = pl.pallas_call(
+        functools.partial(_dot_fwd_kernel, tau=tau, bn=block),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nb),
+            in_specs=[
+                pl.BlockSpec((block, n_feat), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((n_feat, block), lambda i, j, nv: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((block, 1), lambda i, j, nv: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block, 1), jnp.float32),
+                pltpu.VMEM((block, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        interpret=interpret,
+    )(nvalid, z1p, z3t)
+    lse = lse[:b, 0]
+    return lse, (z1, z3, lse)
+
+
+def _dot_bwd(tau, block, interpret, res, ct):
+    z1, z3, lse = res
+    b, n_feat = z1.shape
+    block = min(block, 256)
+    z1p = _pad_rows(z1.astype(jnp.float32), block)
+    z3t = _pad_rows(z3.astype(jnp.float32), block).T
+    bp = z1p.shape[0]
+    nb = bp // block
+    nvalid = jnp.array([b], dtype=jnp.int32)
+    pad = bp - b
+    lse_p = jnp.concatenate([lse, jnp.zeros((pad,), lse.dtype)])[:, None]
+    ct_p = jnp.concatenate([ct, jnp.zeros((pad,), ct.dtype)])[:, None]
+
+    dz1 = pl.pallas_call(
+        functools.partial(_dot_dz1_kernel, tau=tau, bn=block),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nb),
+            in_specs=[
+                pl.BlockSpec((block, n_feat), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((n_feat, block), lambda i, j, nv: (0, j)),
+                pl.BlockSpec((block, 1), lambda i, j, nv: (i, 0)),
+                pl.BlockSpec((block, 1), lambda i, j, nv: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block, n_feat), lambda i, j, nv: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((block, n_feat), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, n_feat), jnp.float32),
+        interpret=interpret,
+    )(nvalid, z1p, z3t, lse_p, ct_p)
+
+    dz3t = pl.pallas_call(
+        functools.partial(_dot_dz3_kernel, tau=tau, bm=block),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nb),
+            in_specs=[
+                pl.BlockSpec((n_feat, block), lambda j, i, nv: (0, j)),
+                pl.BlockSpec((block, n_feat), lambda j, i, nv: (i, 0)),
+                pl.BlockSpec((block, 1), lambda j, i, nv: (i, 0)),
+                pl.BlockSpec((block, 1), lambda j, i, nv: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((n_feat, block), lambda j, i, nv: (0, j)),
+            scratch_shapes=[pltpu.VMEM((n_feat, block), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_feat, bp), jnp.float32),
+        interpret=interpret,
+    )(nvalid, z3t, z1p, lse_p, ct_p)
+
+    return dz1[:b].astype(z1.dtype), dz3t.T[:b].astype(z3.dtype)
+
+
+def _dot_fwd_rule(z1, z3, tau, block, interpret):
+    return _dot_fwd(z1, z3, tau, block, interpret)
+
+
+fused_dot_lse.defvjp(_dot_fwd_rule, _dot_bwd)

@@ -79,3 +79,43 @@ def test_l2_topk_blocked_matches_unblocked():
     i1, d1 = l2_topk(jnp.asarray(table), jnp.asarray(q), 2, 64)
     i2, d2 = l2_topk(jnp.asarray(table), jnp.asarray(q), 2, 1024)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def _dot_lse_oracle(z1, z3, tau):
+    x = (z1 @ z3.T) / tau
+    m = x.max(1, keepdims=True)
+    return (m + np.log(np.exp(x - m).sum(1, keepdims=True)))[:, 0]
+
+
+@pytest.mark.parametrize("b", [64, 50])
+def test_fused_dot_lse_matches_oracle(b):
+    from cl_ica_tpu.ops import fused_dot_lse
+
+    z1 = rng.normal(size=(b, 12)).astype(np.float32)
+    z3 = rng.normal(size=(b, 12)).astype(np.float32)
+    out = fused_dot_lse(jnp.asarray(z1), jnp.asarray(z3), 0.5, 32, True)
+    np.testing.assert_allclose(
+        np.asarray(out), _dot_lse_oracle(z1, z3, 0.5), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_dot_lse_grads_match_jnp():
+    from cl_ica_tpu.ops import fused_dot_lse
+    import jax.scipy.special as jsp
+
+    z1 = rng.normal(size=(64, 8)).astype(np.float32)
+    z3 = rng.normal(size=(64, 8)).astype(np.float32)
+    tau = 0.7
+    w = jnp.arange(64.0)
+
+    def loss_pallas(a, b):
+        return jnp.sum(fused_dot_lse(a, b, tau, 32, True) * w)
+
+    def loss_jnp(a, b):
+        return jnp.sum(jsp.logsumexp((a @ b.T) / tau, axis=1) * w)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(z1), jnp.asarray(z3))
+    g2 = jax.grad(loss_jnp, argnums=(0, 1))(jnp.asarray(z1), jnp.asarray(z3))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=5e-4)

@@ -94,11 +94,17 @@ class CLLoss(ABC):
 
 @dataclasses.dataclass
 class SimCLRLoss(CLLoss):
-    """Dot-product InfoNCE (losses.py:162-202)."""
+    """Dot-product InfoNCE (losses.py:162-202).
+
+    use_fused=True streams the B×B similarity through the Pallas kernel
+    (ops.fused_dot_lse) instead of materializing it — required once
+    B²·4 bytes approaches HBM (B ≳ 32k); at reference batch sizes the
+    XLA-fused matmul path is faster, so the default stays False."""
 
     normalize: bool = False
     tau: float = 1.0
     alpha: float = 0.5
+    use_fused: bool = False
 
     def loss(self, z1, z2_con_z1, z3, z1_rec, z2_con_z1_rec, z3_rec):
         del z1, z2_con_z1, z3
@@ -109,12 +115,18 @@ class SimCLRLoss(CLLoss):
             )
             z3_rec = z3_rec / jnp.linalg.norm(z3_rec, axis=-1, keepdims=True)
 
-        neg = jnp.matmul(z1_rec, z3_rec.T, precision="highest")  # MXU
         pos = jnp.sum(z1_rec * z2_con_z1_rec, axis=-1)
-        neg_and_pos = jnp.concatenate([neg, pos[:, None]], axis=1)
-
         loss_pos = -pos / self.tau
-        loss_neg = jax.scipy.special.logsumexp(neg_and_pos / self.tau, axis=1)
+        if self.use_fused:
+            from ..ops.infonce_pallas import fused_dot_lse
+
+            lse = fused_dot_lse(z1_rec, z3_rec, self.tau)
+            # pos column folded in (== appending it before logsumexp)
+            loss_neg = jnp.logaddexp(lse, pos / self.tau)
+        else:
+            neg = jnp.matmul(z1_rec, z3_rec.T, precision="highest")  # MXU
+            neg_and_pos = jnp.concatenate([neg, pos[:, None]], axis=1)
+            loss_neg = jax.scipy.special.logsumexp(neg_and_pos / self.tau, axis=1)
         loss = 2 * (self.alpha * loss_pos + (1.0 - self.alpha) * loss_neg)
         return jnp.mean(loss), loss, [jnp.mean(loss_pos), jnp.mean(loss_neg)]
 

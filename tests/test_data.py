@@ -204,3 +204,30 @@ def test_prefetching_pair_loader(threedident_root, key):
         assert x.shape == (8, 8, 8, 3) and x.dtype == np.uint8
         assert np.asarray(z).shape == (8, 4)
     loader.close()
+
+
+def test_kitti_solver_host_path_and_ragged_steps(kitti_root, tmp_path):
+    """Host-fed fallback + ragged final steps when max_iter is not a
+    multiple of the scan chunk."""
+    import types
+
+    from cl_ica_tpu.cli.kitti_solver import Solver
+
+    ds = KittiMasks(path=kitti_root, download=False, transform="default")
+    args = types.SimpleNamespace(
+        ckpt_dir=str(tmp_path / "ck"), output_dir=str(tmp_path / "out"),
+        max_iter=7, z_dim=3, num_channel=1, log_step=5, save_step=100,
+        batch_size=8, box_norm=0, lr=1e-3, beta1=0.9, beta2=0.999, p=1, seed=0,
+    )
+    import os
+
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    os.makedirs(args.output_dir, exist_ok=True)
+    s = Solver(args, ds)  # device sampling on; chunk=5, ragged tail 2
+    assert s.train() is False
+    assert s.global_iter == 7
+    assert os.path.exists(os.path.join(args.ckpt_dir, "last"))
+    # host path end-to-end
+    s2 = Solver(args, ds, device_sampling=False)
+    assert s2.train() is False
+    assert s2.global_iter == 7

@@ -100,6 +100,9 @@ def parse_args(argv=None):
     parser.add_argument("--encoder", default="rn18",
                         choices=("rn18", "rn50", "rn101", "rn151"))
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute in the encoder backbone "
+                             "(MXU throughput; params stay fp32)")
     args = parser.parse_args(argv)
 
     if args.no_spotlight:
@@ -328,6 +331,7 @@ def main(argv=None):
         subset_only=subset_only,
         dummy_mixing=args.dummy_mixing,
         identity_solution=args.identity_solution,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
     g = None

@@ -1,0 +1,142 @@
+"""Direct numerical parity against the reference implementation.
+
+Runs the reference's own torch losses and metric code (imported from the
+read-only checkout) on identical inputs and compares our outputs —
+stronger than hand-written oracles."""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    sys.path.insert(0, REF)
+    import importlib
+
+    import losses as ref_losses
+    import disentanglement_utils as ref_dis
+
+    importlib.reload(ref_losses)
+    yield ref_losses, ref_dis
+    sys.path.remove(REF)
+
+
+rng = np.random.default_rng(7)
+B, N = 48, 6
+
+
+def _data():
+    z1 = rng.normal(size=(B, N)).astype(np.float32)
+    z2 = (z1 + 0.1 * rng.normal(size=(B, N))).astype(np.float32)
+    z3 = np.roll(z1, 1, axis=0)
+    return z1, z2, z3
+
+
+@pytest.mark.parametrize("p,compat,pow_", [
+    (1, True, True), (2, True, True), (3, False, True), (2, False, False),
+])
+def test_lp_simclr_value_parity(ref_modules, p, compat, pow_):
+    import torch
+
+    ref_losses, _ = ref_modules
+    from cl_ica_tpu.losses import LpSimCLRLoss
+
+    z1, z2, z3 = _data()
+    theirs = ref_losses.LpSimCLRLoss(
+        p=p, tau=0.9, simclr_compatibility_mode=compat, pow=pow_
+    )
+    t_mean, t_items, _ = theirs(
+        None, None, None,
+        torch.tensor(z1), torch.tensor(z2), torch.tensor(z3),
+    )
+    ours = LpSimCLRLoss(p=p, tau=0.9, simclr_compatibility_mode=compat,
+                        pow=pow_, use_fused=False)
+    o_mean, o_items, _ = ours(None, None, None, jnp.asarray(z1),
+                              jnp.asarray(z2), jnp.asarray(z3))
+    np.testing.assert_allclose(float(o_mean), float(t_mean), rtol=1e-4)
+    # rtol 5e-4: the p=2 matmul formulation loses a few fp32 bits to
+    # cancellation on the closest pair when pow=False takes the sqrt
+    np.testing.assert_allclose(
+        np.asarray(o_items), t_items.detach().numpy(), rtol=5e-4, atol=1e-5
+    )
+
+
+def test_simclr_value_parity(ref_modules):
+    import torch
+
+    ref_losses, _ = ref_modules
+    from cl_ica_tpu.losses import SimCLRLoss
+
+    z1, z2, z3 = _data()
+    t_mean, t_items, _ = ref_losses.SimCLRLoss(normalize=True, tau=0.6)(
+        None, None, None, torch.tensor(z1), torch.tensor(z2), torch.tensor(z3)
+    )
+    o_mean, o_items, _ = SimCLRLoss(normalize=True, tau=0.6)(
+        None, None, None, jnp.asarray(z1), jnp.asarray(z2), jnp.asarray(z3)
+    )
+    np.testing.assert_allclose(float(o_mean), float(t_mean), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(o_items), t_items.detach().numpy(), rtol=2e-3, atol=1e-5
+    )
+
+
+def test_uniformity_alignment_value_parity(ref_modules):
+    import torch
+
+    ref_losses, _ = ref_modules
+    from cl_ica_tpu.losses import AlignmentLoss, UniformityLoss
+
+    z1, z2, z3 = _data()
+    tu, tui, _ = ref_losses.UniformityLoss(p=2.0)(torch.tensor(z1),
+                                                  torch.tensor(z3))
+    ou, oui, _ = UniformityLoss(p=2.0)(jnp.asarray(z1), jnp.asarray(z3))
+    np.testing.assert_allclose(float(ou), float(tu), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(oui), tui.detach().numpy(), rtol=1e-4)
+
+    ta, tai, _ = ref_losses.AlignmentLoss(p=2.0)(torch.tensor(z1),
+                                                 torch.tensor(z2))
+    oa, oai, _ = AlignmentLoss(p=2.0)(jnp.asarray(z1), jnp.asarray(z2))
+    np.testing.assert_allclose(float(oa), float(ta), rtol=1e-5)
+
+
+def test_linear_disentanglement_parity(ref_modules):
+    _, ref_dis = ref_modules
+    from cl_ica_tpu.evaluation import linear_disentanglement
+
+    z = rng.normal(size=(400, 5))
+    hz = np.tanh(z @ rng.normal(size=(5, 5))) + 0.1 * rng.normal(size=(400, 5))
+    (ours, _), _ = linear_disentanglement(z, hz, mode="r2")
+    (theirs, _), _ = ref_dis.linear_disentanglement(z, hz, mode="r2")
+    np.testing.assert_allclose(ours, theirs, rtol=1e-8)
+    # train/test split mode
+    (ours_s, _), _ = linear_disentanglement(z, hz, mode="r2",
+                                            train_test_split=True)
+    (theirs_s, _), _ = ref_dis.linear_disentanglement(z, hz, mode="r2",
+                                                      train_test_split=True)
+    np.testing.assert_allclose(ours_s, theirs_s, rtol=1e-8)
+
+
+def test_permutation_disentanglement_parity(ref_modules):
+    _, ref_dis = ref_modules
+    from cl_ica_tpu.evaluation import permutation_disentanglement
+
+    z = rng.normal(size=(500, 6))
+    perm = rng.permutation(6)
+    hz = z[:, perm] * rng.uniform(0.5, 2, 6) + 0.2 * rng.normal(size=(500, 6))
+    (ours, _), _ = permutation_disentanglement(
+        z, hz, mode="pearson", solver="munkres", rescaling=True
+    )
+    (theirs, _), _ = ref_dis.permutation_disentanglement(
+        z, hz, mode="pearson", solver="munkres", rescaling=True
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10)

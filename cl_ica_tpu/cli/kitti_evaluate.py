@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-from ..evaluation import compute_mcc
+from ..evaluation import compute_mcc, compute_mig, compute_sap
 
 
 def generate_batch_factor_code(
@@ -55,7 +55,9 @@ def evaluate_disentanglement(
     continuous = args.dataset == "kittimasks" or (
         args.dataset == "natural" and not getattr(args, "natural_discrete", False)
     )
-    metric_names = ["mcc"] if continuous else ["mcc"]
+    # continuous datasets -> MCC only (evaluate_disentanglement.py:66-72);
+    # discrete ones also get the standard dis-lib metrics
+    metric_names = ["mcc"] if continuous else ["mcc", "mig", "sap"]
     random_state = np.random.RandomState(0)
 
     all_results = {}
@@ -76,9 +78,14 @@ def evaluate_disentanglement(
                 np.random.RandomState(seed),
                 batch_size,
             )
-            results_dict = compute_mcc(
-                mus, ys, "Pearson", np.random.RandomState(seed)
-            )
+            if metric_name == "mcc":
+                results_dict = compute_mcc(
+                    mus, ys, "Pearson", np.random.RandomState(seed)
+                )
+            elif metric_name == "mig":
+                results_dict = compute_mig(mus, ys)
+            else:
+                results_dict = compute_sap(mus, ys)
             results_dict["elapsed_time"] = time.time() - t0
             output_dir = os.path.join(
                 args.output_dir, "evaluation", args.ckpt_name, post, metric_name
@@ -92,8 +99,8 @@ def evaluate_disentanglement(
                 )
             all_results[(post, metric_name)] = results_dict
             if args.verbose:
-                print(f"{metric_name}: meanabscorr="
-                      f"{results_dict['meanabscorr']:.4f} "
+                headline = next(iter(results_dict.items()))
+                print(f"{metric_name}: {headline[0]}={headline[1]:.4f} "
                       f"took {results_dict['elapsed_time']:.1f}s")
     return all_results
 

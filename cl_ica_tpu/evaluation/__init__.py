@@ -11,6 +11,7 @@ from .disentanglement import (
     r2_score,
 )
 from .mcc import compute_mcc, correlation
+from .dislib_metrics import compute_mig, compute_sap
 
 __all__ = [
     "Munkres",
@@ -20,4 +21,6 @@ __all__ = [
     "r2_score",
     "compute_mcc",
     "correlation",
+    "compute_mig",
+    "compute_sap",
 ]

@@ -123,3 +123,22 @@ def test_spearman_mode():
         z, hz, mode="spearman", solver="munkres", rescaling=False
     )
     assert score > 0.999999
+
+
+def test_mig_and_sap():
+    from cl_ica_tpu.evaluation import compute_mig, compute_sap
+
+    y = rng.integers(0, 10, size=(3, 3000)).astype(np.int64)
+    # latents = factors plus noise dims -> high gap
+    mus = np.concatenate(
+        [y.astype(np.float64) + 0.01 * rng.normal(size=(3, 3000)),
+         rng.normal(size=(2, 3000))], axis=0
+    )
+    mig = compute_mig(mus, y)["discrete_mig"]
+    sap = compute_sap(mus, y.astype(np.float64))["sap_score"]
+    assert mig > 0.8
+    assert sap > 0.8
+    # uninformative latents -> low scores
+    mus_bad = rng.normal(size=(5, 3000))
+    assert compute_mig(mus_bad, y)["discrete_mig"] < 0.1
+    assert compute_sap(mus_bad, y.astype(np.float64))["sap_score"] < 0.1

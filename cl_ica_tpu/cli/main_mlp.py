@@ -58,6 +58,13 @@ def parse_args(argv=None):
                         help="How many more steps to do for unsupervised compared "
                              "to supervised training.")
     parser.add_argument("--save-dir", type=str, default="")
+    parser.add_argument("--rej-mult", type=int, default=1,
+                        help="Memory/CPU trade-off factor for rejection "
+                             "resampling. (Accepted for README parity; the "
+                             "reference parses it in its README help but "
+                             "never threads it into main_mlp — see "
+                             "spaces.utils.truncated_rejection_resampling's "
+                             "buffer_size_factor for the wired API.)")
     parser.add_argument("--num-eval-batches", type=int, default=10,
                         help="Number of batches to average evaluation performance "
                              "at the end.")

@@ -499,15 +499,20 @@ def main(argv=None):
     total_loss_values = []
 
     prefetcher = None
-    if args.mode == "unsupervised" and load_images:
+    if (args.mode == "unsupervised" and load_images
+            and getattr(sampler, "device_store", None) is None):
         from ..data import PrefetchingPairLoader
 
         root_key, k_loader = jax.random.split(root_key)
         prefetcher = PrefetchingPairLoader(sampler, k_loader)
 
     def next_train_batch(k):
-        """Training batches: prefetched (double-buffered host pipeline)
-        when images are in play; direct otherwise."""
+        """Training batches: fully on-device when the packed image store
+        fits HBM (sampling + NN matching + gather + normalize in one
+        jitted call); else prefetched host pipeline; else direct."""
+        if getattr(sampler, "device_store", None) is not None:
+            (z, zt), (x, xt) = sampler._sample_with_images(k)
+            return z, x, zt, xt
         if prefetcher is not None:
             (z, zt), (x, xt) = next(prefetcher)
             return (z, normalize_3dident(jnp.asarray(x)),

@@ -150,6 +150,8 @@ class ThreeDIdentBatchSampler:
         batch_size: int,
         latent_dimensions_to_use: Optional[Sequence[int]] = None,
         load_images: bool = True,
+        device_images: Optional[bool] = None,
+        device_image_budget_bytes: int = 4 << 30,
     ):
         self.root = root
         latents = np.load(os.path.join(root, "raw_latents.npy"))
@@ -165,6 +167,33 @@ class ThreeDIdentBatchSampler:
         self.images = (
             PackedImageStore(root, latents.shape[0]) if load_images else None
         )
+
+        # Device-resident image store: when the packed uint8 array fits
+        # the HBM budget, upload it once — pair sampling, NN matching,
+        # image gather AND normalization then all fuse into one jitted
+        # call with no host data path (like the KITTI device sampler).
+        # For sets beyond one chip's HBM (the real 250k×224² = 37 GB),
+        # shard the store over a mesh's data axis instead (round-robin
+        # rows + a gather collective) — planned, not yet implemented.
+        self.device_store = None
+        if load_images and self.images is not None and self.images._packed is not None:
+            packed = self.images._packed
+            if device_images is None:
+                device_images = packed.nbytes <= device_image_budget_bytes
+            if device_images:
+                self.device_store = jnp.asarray(np.asarray(packed))
+
+        if self.device_store is not None:
+            store = self.device_store
+
+            @jax.jit
+            def _sample_with_images(key):
+                idx_z, idx_zt, z, zt = self._sample(key)
+                x = normalize_3dident(store[idx_z])
+                xt = normalize_3dident(store[idx_zt])
+                return (z, zt), (x, xt)
+
+            self._sample_with_images = _sample_with_images
 
         @jax.jit
         def _sample(key):

@@ -231,3 +231,26 @@ def test_kitti_solver_host_path_and_ragged_steps(kitti_root, tmp_path):
     s2 = Solver(args, ds, device_sampling=False)
     assert s2.train() is False
     assert s2.global_iter == 7
+
+
+def test_threedident_device_store(threedident_root, key):
+    """Device-resident image store: fully fused (jitted) batch incl.
+    normalized images, matching the host-gather path exactly."""
+    ls = _latent_space()
+    sampler = ThreeDIdentBatchSampler(threedident_root, ls, 8,
+                                      device_images=True)
+    assert sampler.device_store is not None
+    (z, zt), (x, xt) = sampler._sample_with_images(key)
+    assert x.shape == (8, 8, 8, 3) and x.dtype == jnp.float32
+    # matches host gather + normalize for the same key
+    idx_z, idx_zt, _, _ = sampler.sample_latent_batch(key)
+    host_x = normalize_3dident(jnp.asarray(sampler.images.gather(np.asarray(idx_z))))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(host_x), rtol=2e-4)
+
+
+def test_threedident_device_store_budget(threedident_root):
+    ls = _latent_space()
+    sampler = ThreeDIdentBatchSampler(
+        threedident_root, ls, 8, device_image_budget_bytes=16  # too small
+    )
+    assert sampler.device_store is None  # falls back to host gathers

@@ -76,9 +76,9 @@ class Solver:
             pairs = self.batch_pairs
 
             def one_step(carry, _):
-                params, opt_state, key = carry
+                params, opt_state, key, arrays = carry
                 key, k_data, k_aug = jax.random.split(key, 3)
-                x1_u8, x2_u8, _, _ = sampler.sample_batch(k_data, pairs)
+                x1_u8, x2_u8, _, _ = sampler.sample_batch(k_data, pairs, arrays)
                 if augment:
                     # fast variant: shared-index rotation + integer-grid
                     # translation (see data.kitti.augment_mask_pairs_fast)
@@ -96,14 +96,19 @@ class Solver:
 
                 total, grads = jax.value_and_grad(objective)(params)
                 updates, new_opt = optim.update(grads, opt_state, params)
-                return (optax.apply_updates(params, updates), new_opt, key), total
+                return (
+                    optax.apply_updates(params, updates), new_opt, key, arrays
+                ), total
 
             n_inner = max(1, min(self.log_step, self.save_step))
 
             @jax.jit
-            def chunk(params, opt_state, key):
-                (params, opt_state, key), losses = jax.lax.scan(
-                    one_step, (params, opt_state, key), None, length=n_inner
+            def chunk(params, opt_state, key, arrays):
+                # corpus arrays enter as jit arguments (see
+                # KittiDeviceSampler.arrays), never as baked constants
+                (params, opt_state, key, _), losses = jax.lax.scan(
+                    one_step, (params, opt_state, key, arrays), None,
+                    length=n_inner,
                 )
                 return params, opt_state, key, losses
 
@@ -164,7 +169,8 @@ class Solver:
                 n = min(self._n_inner, self.max_iter - self.global_iter)
                 if n == self._n_inner:
                     self.params, self.opt_state, self.key, losses = self._chunk(
-                        self.params, self.opt_state, self.key
+                        self.params, self.opt_state, self.key,
+                        self.device_sampler.arrays,
                     )
                     on_progress(np.asarray(losses).tolist())
                     continue

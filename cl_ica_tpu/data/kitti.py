@@ -162,21 +162,28 @@ class KittiDeviceSampler:
         self.pair_seq_last = jnp.asarray(np.array(seq_last, dtype=np.int32))
         self.n_pairs = len(starts)
 
-    def sample_batch(self, key, batch_pairs: int):
-        """-> (x1_u8, x2_u8 (B,64,64), l1, l2 (B,3)), all on device."""
+    @property
+    def arrays(self):
+        """The device-resident corpus as a pytree. Pass this as an
+        ARGUMENT into jitted training steps (closing over the arrays
+        would bake them into the HLO as constants — pathological for
+        compile time once the corpus is large)."""
+        return (self.frames, self.latents, self.pair_start, self.pair_seq_last)
+
+    def sample_batch(self, key, batch_pairs: int, arrays=None):
+        """-> (x1_u8, x2_u8 (B,64,64), l1, l2 (B,3)), all on device.
+        Inside jit, pass `arrays` (see .arrays) explicitly."""
+        frames, latents, pair_start, pair_seq_last = (
+            arrays if arrays is not None else self.arrays
+        )
         k_idx, k_dt = jax.random.split(key)
         pick = jax.random.randint(k_idx, (batch_pairs,), 0, self.n_pairs)
-        start = self.pair_start[pick]
+        start = pair_start[pick]
         dt = jax.random.randint(
             k_dt, (batch_pairs,), 1, self.max_delta_t + 1
         )
-        end = jnp.minimum(start + dt, self.pair_seq_last[pick])
-        return (
-            self.frames[start],
-            self.frames[end],
-            self.latents[start],
-            self.latents[end],
-        )
+        end = jnp.minimum(start + dt, pair_seq_last[pick])
+        return frames[start], frames[end], latents[start], latents[end]
 
 
 def _affine_warp_nearest(img, angle_deg, tx, ty, flip):

@@ -184,16 +184,19 @@ class ThreeDIdentBatchSampler:
                 self.device_store = jnp.asarray(np.asarray(packed))
 
         if self.device_store is not None:
-            store = self.device_store
-
+            # NOTE: the store is a jit ARGUMENT, not a closure — closed-over
+            # arrays are baked into the HLO as constants, which ships the
+            # whole store to the compiler (pathological for remote compile).
             @jax.jit
-            def _sample_with_images(key):
+            def _sample_with_images_impl(key, store):
                 idx_z, idx_zt, z, zt = self._sample(key)
                 x = normalize_3dident(store[idx_z])
                 xt = normalize_3dident(store[idx_zt])
                 return (z, zt), (x, xt)
 
-            self._sample_with_images = _sample_with_images
+            self._sample_with_images = lambda key: _sample_with_images_impl(
+                key, self.device_store
+            )
 
         @jax.jit
         def _sample(key):

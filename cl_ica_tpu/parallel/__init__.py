@@ -14,7 +14,11 @@ global-negative semantics exactly while the collective rides ICI.
 """
 
 from .mesh import make_mesh, data_sharding, replicated
-from .collective import sharded_lp_neg_lse, sharded_lp_simclr_loss
+from .collective import (
+    sharded_lp_neg_lse,
+    sharded_lp_simclr_loss,
+    sharded_store_gather,
+)
 from .sharded import (
     make_sharded_synthetic_train_step,
     make_sharded_data_train_step,
@@ -30,4 +34,5 @@ __all__ = [
     "shard_batch",
     "sharded_lp_neg_lse",
     "sharded_lp_simclr_loss",
+    "sharded_store_gather",
 ]

@@ -94,3 +94,43 @@ def sharded_lp_simclr_loss(
             out_specs=P(),
         )
     )
+
+
+def sharded_store_gather(mesh: Mesh, store_shape, axis: str = "data"):
+    """Batch row-gather from a mesh-sharded device store.
+
+    For datasets beyond one chip's HBM (the real 3DIdent render set is
+    37 GB vs 16 GB HBM on v5e): shard the packed (N, ...) uint8 store
+    row-wise over `axis` (N divisible by the axis size); each chip
+    contributes the requested rows it owns and a psum assembles the
+    (B, ...) batch on every chip. Communication is one psum of batch
+    volume — independent of store size.
+
+    Returns fn(store_sharded, idx_replicated) -> (B, ...) batch,
+    replicated. Place the store with
+    jax.device_put(arr, NamedSharding(mesh, P(axis))).
+    """
+    n_rows = store_shape[0]
+    n_shards = mesh.shape[axis]
+    assert n_rows % n_shards == 0, (n_rows, n_shards)
+    rows_per_shard = n_rows // n_shards
+
+    def local_fn(local_store, idx):
+        me = jax.lax.axis_index(axis)
+        local_idx = idx - me * rows_per_shard
+        mine = (local_idx >= 0) & (local_idx < rows_per_shard)
+        safe = jnp.clip(local_idx, 0, rows_per_shard - 1)
+        rows = local_store[safe].astype(jnp.float32)
+        contrib = jnp.where(
+            mine.reshape((-1,) + (1,) * (rows.ndim - 1)), rows, 0.0
+        )
+        return jax.lax.psum(contrib, axis)
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=P(),
+        )
+    )

@@ -177,3 +177,23 @@ def test_explicit_collective_full_loss_matches():
     ref = LpSimCLRLoss(p=1.0, simclr_compatibility_mode=True, use_fused=False)
     exp, _, _ = ref(None, None, None, z1, z2, z3)
     np.testing.assert_allclose(out, float(exp), rtol=1e-5)
+
+
+def test_sharded_store_gather():
+    """Mesh-sharded image store: batch gather via psum matches direct
+    indexing; store memory is 1/n_shards per chip."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cl_ica_tpu.parallel import sharded_store_gather
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    store = rng.integers(0, 255, (64, 6, 6, 3), dtype=np.uint8)
+    store_sharded = jax.device_put(
+        jnp.asarray(store), NamedSharding(mesh, P("data"))
+    )
+    idx = jnp.asarray(rng.integers(0, 64, 24))
+    gather = sharded_store_gather(mesh, store.shape)
+    out = gather(store_sharded, idx)
+    np.testing.assert_allclose(
+        np.asarray(out), store[np.asarray(idx)].astype(np.float32)
+    )

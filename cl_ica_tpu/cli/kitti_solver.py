@@ -141,6 +141,7 @@ class Solver:
             return optax.apply_updates(params, updates), new_opt, key, total
 
         self._step = step
+        self._apply_jit = jax.jit(self.net.apply)
 
     def train(self) -> bool:
         failure = False
@@ -193,7 +194,7 @@ class Solver:
         x = jnp.asarray(x_np, dtype=jnp.float32)
         if x.ndim == 4 and x.shape[1] in (1, 3):  # NCHW -> NHWC
             x = jnp.transpose(x, (0, 2, 3, 1))
-        return np.asarray(jax.jit(self.net.apply)(self.params, x))
+        return np.asarray(self._apply_jit(self.params, x))
 
     def save_checkpoint(self, filename: str, silent: bool = True):
         states = {

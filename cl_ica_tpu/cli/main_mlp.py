@@ -60,11 +60,10 @@ def parse_args(argv=None):
     parser.add_argument("--save-dir", type=str, default="")
     parser.add_argument("--rej-mult", type=int, default=1,
                         help="Memory/CPU trade-off factor for rejection "
-                             "resampling. (Accepted for README parity; the "
-                             "reference parses it in its README help but "
-                             "never threads it into main_mlp — see "
-                             "spaces.utils.truncated_rejection_resampling's "
-                             "buffer_size_factor for the wired API.)")
+                             "resampling (buffer_size_factor: candidates "
+                             "drawn per rejection iteration = rej-mult x "
+                             "batch). Wired here; the reference documents "
+                             "the flag (README.md:44) but drops it.")
     parser.add_argument("--num-eval-batches", type=int, default=10,
                         help="Number of batches to average evaluation performance "
                              "at the end.")
@@ -108,7 +107,8 @@ def parse_args(argv=None):
 def build_latent_space(args) -> LatentSpace:
     """Space + marginal + conditional selection (main_mlp.py:136-194)."""
     if args.space_type == "box":
-        space = NBoxSpace(args.n, args.box_min, args.box_max)
+        space = NBoxSpace(args.n, args.box_min, args.box_max,
+                          rej_mult=getattr(args, "rej_mult", 1))
     elif args.space_type == "sphere":
         space = NSphereSpace(args.n, args.sphere_r)
     else:

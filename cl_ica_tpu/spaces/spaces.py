@@ -136,11 +136,17 @@ class NBoxSpace(Space):
 
     Conditionals are truncated by elementwise rejection resampling inside
     a bounded while_loop (see utils.truncated_rejection_resampling).
+
+    ``rej_mult`` is the reference README's ``--rej-mult`` memory/latency
+    trade-off (buffer_size_factor: candidates drawn per rejection-loop
+    iteration = rej_mult x size). The reference documents the flag at
+    README.md:44 but never threads it into main_mlp; here it is wired.
     """
 
     n: int
     min_: float = -1.0
     max_: float = 1.0
+    rej_mult: int = 1
 
     @property
     def dim(self) -> int:
@@ -157,14 +163,16 @@ class NBoxSpace(Space):
         std = jnp.asarray(std, dtype=jnp.float32)
         sampler = lambda k, s: jax.random.normal(k, (s, self.n)) * std + mean
         return sut.truncated_rejection_resampling(
-            sampler, key, self.min_, self.max_, size, self.n
+            sampler, key, self.min_, self.max_, size, self.n,
+            buffer_size_factor=self.rej_mult,
         )
 
     def laplace(self, key, mean, lbd, size: int):
         mean = _broadcast_mean(mean, self.n)
         sampler = lambda k, s: jax.random.laplace(k, (s, self.n)) * lbd + mean
         return sut.truncated_rejection_resampling(
-            sampler, key, self.min_, self.max_, size, self.n
+            sampler, key, self.min_, self.max_, size, self.n,
+            buffer_size_factor=self.rej_mult,
         )
 
     def generalized_normal(self, key, mean, lbd, p, size: int):
@@ -173,5 +181,6 @@ class NBoxSpace(Space):
             k, mean, lbd, p, (s, self.n)
         )
         return sut.truncated_rejection_resampling(
-            sampler, key, self.min_, self.max_, size, self.n
+            sampler, key, self.min_, self.max_, size, self.n,
+            buffer_size_factor=self.rej_mult,
         )

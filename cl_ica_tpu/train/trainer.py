@@ -12,6 +12,7 @@ Negatives follow the reference trick z3_rec = roll(z1_rec, 1)
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Optional, Tuple
 
@@ -20,6 +21,15 @@ import jax.numpy as jnp
 import optax
 
 from .state import TrainState
+
+# Maximum lax.scan trip count compiled into ONE device program. A single
+# 20 000-step scan crashed the v5e TPU worker with a kernel fault during
+# round-1 bring-up; 10 000-step programs are proven stable (EXPERIMENTS.md,
+# CLAUDE.md #7). Longer requests are transparently split into sequential
+# <=limit device calls with identical math (the scan carry is the full
+# TrainState, so chunk boundaries are exact step boundaries). Override via
+# CL_ICA_TPU_MAX_SCAN_LEN.
+MAX_SCAN_LEN = int(os.environ.get("CL_ICA_TPU_MAX_SCAN_LEN", "10000"))
 
 
 def make_synthetic_train_step(
@@ -88,7 +98,12 @@ def make_scanned_synthetic_train_steps(
     dispatch to one call per eval window. Returns
     step(state) -> (state, metrics) where metrics entries have a leading
     (n_inner,) axis (losses of every inner step, for the reference's
-    per-step loss traces)."""
+    per-step loss traces).
+
+    n_inner > MAX_SCAN_LEN is split into sequential device calls of at
+    most MAX_SCAN_LEN scanned steps each (see MAX_SCAN_LEN's docstring
+    for the backend-stability rationale); results are concatenated, so
+    callers see the same contract."""
 
     def one_step(state: TrainState, _):
         key, k_data = jax.random.split(state.key)
@@ -116,10 +131,41 @@ def make_scanned_synthetic_train_steps(
         )
         return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
 
-    def steps(state: TrainState):
-        return jax.lax.scan(one_step, state, None, length=n_inner)
+    donate_args = (0,) if donate else ()
+    max_len = MAX_SCAN_LEN  # snapshot: the limit at factory time governs
 
-    return jax.jit(steps, donate_argnums=(0,) if donate else ())
+    if n_inner <= max_len:
+        def steps(state: TrainState):
+            return jax.lax.scan(one_step, state, None, length=n_inner)
+
+        return jax.jit(steps, donate_argnums=donate_args)
+
+    # chunked: q full-size programs + at most one remainder program
+    n_full, rem = divmod(n_inner, max_len)
+    chunk_fns = {
+        max_len: jax.jit(
+            lambda s: jax.lax.scan(one_step, s, None, length=max_len),
+            donate_argnums=donate_args,
+        )
+    }
+    if rem:
+        chunk_fns[rem] = jax.jit(
+            lambda s: jax.lax.scan(one_step, s, None, length=rem),
+            donate_argnums=donate_args,
+        )
+    lengths = [max_len] * n_full + ([rem] if rem else [])
+
+    def steps_chunked(state: TrainState):
+        metric_chunks = []
+        for length in lengths:
+            state, m = chunk_fns[length](state)
+            metric_chunks.append(m)
+        metrics = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *metric_chunks
+        )
+        return state, metrics
+
+    return steps_chunked
 
 
 def make_data_train_step(

@@ -195,3 +195,15 @@ def test_product_latent_space(key):
         np.linalg.norm(np.asarray(zt[:, 3:]), axis=-1), 1.0, atol=1e-5
     )
     assert float(jnp.max(jnp.abs(zt[:, :3]))) <= 1.0
+
+
+def test_box_rej_mult_wired(key):
+    """--rej-mult (NBoxSpace.rej_mult) draws rej_mult x size candidates
+    per rejection iteration; distribution must be unchanged."""
+    mean = jnp.full((N,), 0.9)
+    x4 = NBoxSpace(N, -1.0, 1.0, rej_mult=4).normal(key, mean, 0.5, SIZE)
+    assert x4.shape == (SIZE, N)
+    assert float(jnp.min(x4)) >= -1.0 and float(jnp.max(x4)) <= 1.0
+    a, b = (-1.0 - 0.9) / 0.5, (1.0 - 0.9) / 0.5
+    stat, p = sps.kstest(np.asarray(x4[:, 0]), "truncnorm", args=(a, b, 0.9, 0.5))
+    assert p > 0.01

@@ -33,6 +33,8 @@ from ..data.kitti import (
 )
 from ..losses import LpSimCLRLoss
 from ..models import ConvEncoder64
+from ..train.checkpoint import restore_pytree, save_pytree
+from ..utils import checkify_wrap, nan_check
 
 
 class Solver:
@@ -92,7 +94,7 @@ class Solver:
                     z1_rec, z2_rec = z[:pairs], z[pairs:]
                     z3_rec = jnp.roll(z1_rec, 1, axis=0)
                     total, _, _ = loss(None, None, None, z1_rec, z2_rec, z3_rec)
-                    return total
+                    return nan_check(total, "loss")
 
                 total, grads = jax.value_and_grad(objective)(params)
                 updates, new_opt = optim.update(grads, opt_state, params)
@@ -102,6 +104,7 @@ class Solver:
 
             n_inner = max(1, min(self.log_step, self.save_step))
 
+            @checkify_wrap
             @jax.jit
             def chunk(params, opt_state, key, arrays):
                 # corpus arrays enter as jit arguments (see
@@ -115,6 +118,7 @@ class Solver:
             self._chunk = chunk
             self._n_inner = n_inner
 
+        @checkify_wrap
         @jax.jit
         def step(params, opt_state, key, x1_u8, x2_u8):
             if augment:
@@ -134,7 +138,7 @@ class Solver:
                 z1_rec, z2_rec = z[:b], z[b:]
                 z3_rec = jnp.roll(z1_rec, 1, axis=0)
                 total, _, _ = loss(None, None, None, z1_rec, z2_rec, z3_rec)
-                return total
+                return nan_check(total, "loss")
 
             total, grads = jax.value_and_grad(objective)(params)
             updates, new_opt = optim.update(grads, opt_state, params)
@@ -205,11 +209,33 @@ class Solver:
         file_path = os.path.join(self.ckpt_dir, filename)
         with open(file_path, "wb") as fh:
             pickle.dump(states, fh)
+        # Orbax artifact alongside the reference-shaped pickle
+        # (SURVEY.md §5: one shared checkpoint layer)
+        save_pytree(file_path + ".orbax", states)
         if not silent:
             print(f"=> saved checkpoint '{file_path}' (iter {self.global_iter})")
 
     def load_checkpoint(self, filename: str):
         file_path = os.path.join(self.ckpt_dir, filename)
+        if not os.path.isfile(file_path) and os.path.isdir(file_path + ".orbax"):
+            target = {
+                "iter": 0,
+                "model_states": {
+                    "net": jax.tree.map(np.asarray, self.params)
+                },
+                "optim_states": {
+                    "optim": jax.tree.map(np.asarray, self.opt_state)
+                },
+            }
+            ckpt = restore_pytree(file_path + ".orbax", target)
+            self.global_iter = int(ckpt["iter"])
+            self.params = jax.tree.map(jnp.asarray, ckpt["model_states"]["net"])
+            self.opt_state = jax.tree.map(
+                jnp.asarray, ckpt["optim_states"]["optim"]
+            )
+            print(f"=> loaded checkpoint '{file_path}.orbax "
+                  f"(iter {self.global_iter})'")
+            return
         if os.path.isfile(file_path):
             with open(file_path, "rb") as fh:
                 ckpt = pickle.load(fh)

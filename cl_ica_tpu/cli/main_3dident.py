@@ -41,7 +41,9 @@ from ..models import construct_invertible_mlp, get_mlp
 from ..models.layers import RescaleLayer, SoftclipLayer
 from ..models.resnet import ResNet18, ResNet50, ResNet101, ResNet152
 from ..spaces import LatentSpace, NBoxSpace, NSphereSpace, ProductLatentSpace
-from ..train import Throughput
+from ..train import MetricsLogger, Throughput
+from ..train.checkpoint import restore_pytree, save_pytree
+from ..utils import checkify_wrap, nan_check, trace_context
 
 import flax.linen as nn
 
@@ -103,6 +105,12 @@ def parse_args(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute in the encoder backbone "
                              "(MXU throughput; params stay fp32)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of the training "
+                             "loop into this directory (TensorBoard/XProf).")
+    parser.add_argument("--log-dir", type=str, default=None,
+                        help="Write structured metrics (log.csv + args.json) "
+                             "into this directory.")
     args = parser.parse_args(argv)
 
     if args.no_spotlight:
@@ -309,6 +317,9 @@ def main(argv=None):
     args = parse_args(argv)
     assert os.path.exists(args.offline_dataset)
     print("Using dataset:", args.offline_dataset)
+    logger = MetricsLogger(log_dir=args.log_dir, print_to_stdout=False)
+    if args.log_dir:
+        logger.log_args(vars(args))
 
     latent_space, n_non_ang, n_ang = setup_latent_space(args)
     n_latents = n_non_ang + n_ang
@@ -371,8 +382,14 @@ def main(argv=None):
     batch_stats = variables.get("batch_stats", None)
 
     if args.load_model is not None:
-        with open(args.load_model, "rb") as fh:
-            loaded = pickle.load(fh)
+        if os.path.isdir(args.load_model):  # Orbax artifact (save_pytree)
+            loaded = restore_pytree(
+                args.load_model,
+                {"params": params, "batch_stats": batch_stats},
+            )
+        else:
+            with open(args.load_model, "rb") as fh:
+                loaded = pickle.load(fh)
         params = jax.tree.map(jnp.asarray, loaded["params"])
         batch_stats = (
             jax.tree.map(jnp.asarray, loaded["batch_stats"])
@@ -392,6 +409,15 @@ def main(argv=None):
                 },
                 fh,
             )
+        # Orbax artifact alongside the reference-shaped pickle (SURVEY.md
+        # §5: one shared checkpoint layer); --load-model accepts either
+        save_pytree(
+            path + ".orbax",
+            {
+                "params": params,
+                "batch_stats": batch_stats,
+            },
+        )
         print("Model saved as", path)
 
     optimizer = (
@@ -411,10 +437,27 @@ def main(argv=None):
             return model.apply(vs, x, train=False), batch_stats
         return model.apply(vs, x, train=train), None
 
+    # test mode iterates the sequential split as a shuffled WITHOUT-
+    # replacement sweep: one epoch permutation, consumed in batch-size
+    # slices, reshuffled when exhausted — the semantics of the
+    # reference's DataLoader(shuffle=True) over SequentialThreeDIdent
+    # (main_3dident.py:852-858). Per-batch choice() could revisit
+    # samples across batches and miss others.
+    test_perm = {"order": None, "pos": 0}
+
+    def _next_test_indices(bs):
+        if (test_perm["order"] is None
+                or test_perm["pos"] + bs > len(test_perm["order"])):
+            test_perm["order"] = np_rng.permutation(len(sampler))
+            test_perm["pos"] = 0
+        out = test_perm["order"][test_perm["pos"]:test_perm["pos"] + bs]
+        test_perm["pos"] += bs
+        return out
+
     def make_batch(key):
         """Device-side batch: latents (+ images via host gather)."""
         if args.mode == "test":
-            idx = np_rng.choice(len(sampler), args.batch_size, replace=False)
+            idx = _next_test_indices(args.batch_size)
             z, x = sampler.batch(idx)
             return jnp.asarray(z), (None if x is None else
                                     normalize_3dident(jnp.asarray(x))), None, None
@@ -437,6 +480,7 @@ def main(argv=None):
 
     identity_scale = 1.0
 
+    @checkify_wrap
     @jax.jit
     def unsup_step(params, opt_state, batch_stats, x1, x2):
         b = x1.shape[0]
@@ -447,6 +491,7 @@ def main(argv=None):
             z1r, z2r = z[:b], z[b:]
             z3r = jnp.roll(z1r, 1, axis=0)
             total, per_item, comps = split_loss(z1r, z2r, z3r)
+            total = nan_check(total, "unsupervised loss")
             return total, (per_item, bs)
 
         (total, (per_item, bs)), grads = jax.value_and_grad(
@@ -455,11 +500,12 @@ def main(argv=None):
         updates, new_opt = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, bs, total, per_item
 
+    @checkify_wrap
     @jax.jit
     def sup_step(params, opt_state, batch_stats, x1, z1):
         def objective(p):
             hz1, bs = apply_model(p, batch_stats, x1, True)
-            return sup_loss(hz1, z1), bs
+            return nan_check(sup_loss(hz1, z1), "supervised loss"), bs
 
         (total, bs), grads = jax.value_and_grad(objective, has_aux=True)(params)
         updates, new_opt = optimizer.update(grads, opt_state, params)
@@ -467,9 +513,15 @@ def main(argv=None):
 
     encode = jax.jit(lambda p, bs, x: apply_model(p, bs, x, False)[0])
 
-    def evaluate(no_pairs=False):
+    def evaluate(eval_perm=True, no_pairs=False):
         """Accumulate n_eval_samples; linear R² (train/test split), MCC,
-        per-dim MSE, linear-fit MSE (main_3dident.py:656-748)."""
+        per-dim MSE, linear-fit MSE (main_3dident.py:656-748).
+
+        eval_perm=False skips the Hungarian MCC (reference test():
+        evaluate(..., not args.identity_solution, ...)); no_pairs marks
+        the sequential (z, x) test path, where make_batch returns no
+        conditional partner."""
+        del no_pairs  # make_batch's test branch is already pair-free
         zs, hzs = [], []
         nonlocal root_key
         for _ in range(args.n_eval_samples // args.batch_size):
@@ -488,9 +540,12 @@ def main(argv=None):
         (lin, _), (z_test, hz_lin) = linear_disentanglement(
             z, hz, mode="r2", train_test_split=True
         )
-        (mcc, _), _ = permutation_disentanglement(
-            z, hz, mode="pearson", solver="munkres", rescaling=True
-        )
+        if eval_perm:
+            (mcc, _), _ = permutation_disentanglement(
+                z, hz, mode="pearson", solver="munkres", rescaling=True
+            )
+        else:
+            mcc = np.inf
         mse = ((z - hz) ** 2).mean(0) if not args.identity_solution else np.inf
         lin_mse = ((z_test - hz_lin) ** 2).mean(0)
         return mcc, lin, mse, lin_mse
@@ -519,6 +574,9 @@ def main(argv=None):
                     zt, normalize_3dident(jnp.asarray(xt)))
         return make_batch(k)
 
+    profile_ctx = trace_context(args.profile_dir)
+    if args.mode in ("unsupervised", "supervised"):
+        profile_ctx.__enter__()
     if args.mode == "unsupervised":
         for step in range(args.iterations):
             root_key, k = jax.random.split(root_key)
@@ -553,6 +611,12 @@ def main(argv=None):
                     (f"pairs/s: {pps:.0f}" if pps else ""),
                     flush=True,
                 )
+                logger.log(step + 1, {
+                    "loss": total,
+                    "linear_disentanglement": lin,
+                    "perm_disentanglement": mcc,
+                    "pairs_per_sec": pps or 0.0,
+                })
                 if args.identity_mixing_and_solution and sys.stdin.isatty():
                     identity_scale = float(input("scale?: "))
                     print("scale:", identity_scale)
@@ -571,6 +635,11 @@ def main(argv=None):
                     f"lin. L2: {lin_mse}",
                     flush=True,
                 )
+                logger.log(step, {
+                    "loss": (total_loss_values[-1]
+                             if total_loss_values else float("inf")),
+                    "linear_disentanglement": lin,
+                })
             root_key, k = jax.random.split(root_key)
             z1, x1, _, _ = make_batch(k)
             if not args.identity_solution:
@@ -583,10 +652,15 @@ def main(argv=None):
             if args.save_every is not None and (step + 1) % args.save_every == 0:
                 save_model(args.save_model + f".iteration_{step + 1}")
     else:  # test
-        mcc, lin, mse, lin_mse = evaluate(no_pairs=True)
+        mcc, lin, mse, lin_mse = evaluate(
+            eval_perm=not args.identity_solution, no_pairs=True
+        )
         print(f"Lin. Disentanglement: {lin}, MCC: {mcc}, MSE: {mse}, "
               f"lin. fit MSE: {lin_mse}")
 
+    if args.mode in ("unsupervised", "supervised"):
+        profile_ctx.__exit__(None, None, None)
+    logger.close()
     if prefetcher is not None:
         prefetcher.close()
     if args.save_model is not None:

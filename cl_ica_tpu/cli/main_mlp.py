@@ -30,10 +30,13 @@ from ..losses import LpSimCLRLoss, SimCLRLoss
 from ..models import construct_invertible_mlp, get_mlp
 from ..spaces import LatentSpace, NBoxSpace, NRealSpace, NSphereSpace
 from ..train import (
+    CheckpointManager,
+    MetricsLogger,
     TrainState,
     Throughput,
     make_scanned_synthetic_train_steps,
 )
+from ..utils import trace_context
 
 
 def parse_args(argv=None):
@@ -96,6 +99,10 @@ def parse_args(argv=None):
     parser.add_argument("--n-log-steps", type=int, default=250)
     parser.add_argument("--n-steps", type=int, default=100001)
     parser.add_argument("--resume-training", action="store_true")
+    # TPU-native additions (not in the reference flag set):
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of the training "
+                             "loop into this directory (TensorBoard/XProf).")
     args = parser.parse_args(argv)
 
     print("Arguments:")
@@ -181,6 +188,11 @@ def evaluate_scores(latent_space, h_fn, key, n_samples=4096):
 
 def main(argv=None):
     args = parse_args(argv)
+    # structured metrics (stdout prints keep the reference's format; the
+    # CSV/args.json artifacts land in --save-dir when given)
+    logger = MetricsLogger(log_dir=args.save_dir or None, print_to_stdout=False)
+    if args.save_dir:
+        logger.log_args(vars(args))
     seed = args.seed if args.seed is not None else int(time.time()) % 2**31
     np_rng = np.random.default_rng(seed)
     root_key = jax.random.PRNGKey(seed)
@@ -301,15 +313,29 @@ def main(argv=None):
                 + (f" \t pairs/s: {pps:.0f}" if pps else ""),
                 flush=True,
             )
+            logger.log(
+                len(total_loss_values),
+                {
+                    "loss": total_loss_values[-1],
+                    "mean_loss": float(
+                        np.mean(total_loss_values[-args.n_log_steps:])
+                    ),
+                    "linear_disentanglement": lin,
+                    "perm_disentanglement": perm,
+                    "pairs_per_sec": pps or 0.0,
+                    "supervised": float(test),
+                },
+            )
 
         # step 1 + eval, then full n_log_steps chunks with eval after each
-        run_chunk(step_1, 1)
-        do_eval()
-        while len(total_loss_values) + args.n_log_steps <= n_steps:
-            run_chunk(step_chunk, args.n_log_steps)
-            do_eval()
-        while len(total_loss_values) < n_steps:
+        with trace_context(args.profile_dir):
             run_chunk(step_1, 1)
+            do_eval()
+            while len(total_loss_values) + args.n_log_steps <= n_steps:
+                run_chunk(step_chunk, args.n_log_steps)
+                do_eval()
+            while len(total_loss_values) < n_steps:
+                run_chunk(step_1, 1)
         if len(total_loss_values) % args.n_log_steps != 1:
             do_eval()  # final eval at n_steps (reference: global_step == n_steps)
 
@@ -320,6 +346,11 @@ def main(argv=None):
             tag = "sup" if test else "unsup"
             with open(os.path.join(args.save_dir, f"{tag}_f.pkl"), "wb") as fh:
                 pickle.dump(jax.tree.map(np.asarray, state.params), fh)
+            # Orbax TrainState checkpoint (params + opt state + step + RNG
+            # key) alongside the reference-shaped pickle (SURVEY.md §5)
+            mgr = CheckpointManager(os.path.join(args.save_dir, f"ckpt_{tag}"))
+            mgr.save(state)
+            mgr.close()
 
         # keep final-phase h for the closing eval
         final_params = state.params
@@ -345,6 +376,7 @@ def main(argv=None):
         final_perm.append(perm)
     print(f"linear mean: {np.mean(final_linear)} std: {np.std(final_linear)}")
     print(f"perm mean: {np.mean(final_perm)} std: {np.std(final_perm)}")
+    logger.close()
     return float(np.mean(final_linear)), float(np.mean(final_perm))
 
 

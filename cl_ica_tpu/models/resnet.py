@@ -17,6 +17,7 @@ from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -69,6 +70,12 @@ class Bottleneck(nn.Module):
         return nn.relu(residual + y)
 
 
+class _Identity(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return x
+
+
 class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     block_cls: ModuleDef
@@ -76,6 +83,12 @@ class ResNet(nn.Module):
     num_filters: int = 64
     dtype: Any = jnp.float32  # compute dtype; bfloat16 for MXU throughput
     stem: str = "conv7"  # 'conv7' (torchvision parity) | 's2d' (MXU-friendly)
+    # 'batch': flax nn.BatchNorm (fp32 residuals under autodiff)
+    # 'fast':  FastBatchNorm — same math, bf16 residuals (the HBM-traffic
+    #          fix for the stem/stage1 bottleneck; see layers.FastBatchNorm)
+    # 'none':  no normalization (diagnostic)
+    norm_kind: str = "batch"
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM traffic
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -85,15 +98,61 @@ class ResNet(nn.Module):
             dtype=self.dtype,
             kernel_init=nn.initializers.kaiming_normal(),
         )
-        norm = partial(
-            nn.BatchNorm,
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-        )
+        if self.norm_kind == "none":
+            def norm(*a, **k):
+                k.pop("scale_init", None)
+                k.pop("name", None)
+                return _Identity()
+        elif self.norm_kind == "fast":
+            from .layers import FastBatchNorm
+
+            norm = partial(
+                FastBatchNorm,
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+            )
+        else:
+            norm = partial(
+                nn.BatchNorm,
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )
         x = x.astype(self.dtype)
-        if self.stem == "s2d":
+        if self.stem == "s2d_exact":
+            # EXACT reformulation of the 7x7/stride-2 stem conv: identical
+            # linear map (and identical (7,7,3,64) parameter, so
+            # checkpoints interchange with stem='conv7'), but computed as
+            # a 4x4/stride-1 conv over the 2x2 space-to-depth input.
+            # Derivation: output(i,j) = sum_{u,v} K[u,v] X[2i+u-3, 2j+v-3];
+            # substituting u-3 = 2k+a (k in -2..1, a in {0,1}) gives a 4x4
+            # kernel over X'[p,q,(a,b,c)] = X[2p+a, 2q+b, c] with padding
+            # (2,1). The 3-channel 7x7 conv runs at ~20 TF/s on the MXU
+            # (3 input lanes of 128 used); the 12-channel 4x4 geometry is
+            # ~4x denser. Zero-padding K to 8x8 supplies the (k,a)=(-2,0)
+            # taps that fall outside the 7x7 support.
+            kernel = self.param(
+                "conv_init_kernel",
+                nn.initializers.kaiming_normal(),
+                (7, 7, x.shape[-1], self.num_filters),
+                jnp.float32,
+            ).astype(self.dtype)
+            b, h, w, c = x.shape
+            xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # 8x8, u=2k+a+1
+            kp = kp.reshape(4, 2, 4, 2, c, self.num_filters)
+            kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.num_filters)
+            x = jax.lax.conv_general_dilated(
+                xs, kp,
+                window_strides=(1, 1),
+                padding=((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype,
+            )
+        elif self.stem == "s2d":
             # MLPerf-style space-to-depth stem: 2x2 patches into channels
             # (3 -> 12) then a 4x4/1 conv. Same output resolution and
             # receptive-field class as conv7/2, 4x better MXU input-lane
@@ -109,10 +168,13 @@ class ResNet(nn.Module):
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        block_cls = (
+            nn.remat(self.block_cls) if self.remat else self.block_cls
+        )
         for i, block_size in enumerate(self.stage_sizes):
             for j in range(block_size):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                x = self.block_cls(
+                x = block_cls(
                     filters=self.num_filters * 2**i,
                     strides=strides,
                     conv=conv,

@@ -48,3 +48,27 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def save_pytree(path: str, tree) -> None:
+    """One-shot Orbax save of an arbitrary pytree to ``path`` (a
+    directory). Used by the CLIs to emit an Orbax artifact next to the
+    reference-shaped pickle (SURVEY.md §5: one shared checkpoint layer)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(lambda x: x, tree), force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def restore_pytree(path: str, target=None):
+    """Restore a pytree saved with save_pytree. ``target`` (optional)
+    provides structure/shape/dtype for exact restoration."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        if target is not None:
+            return ckptr.restore(path, target)
+        return ckptr.restore(path)
+    finally:
+        ckptr.close()

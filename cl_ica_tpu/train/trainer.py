@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..utils.debug import checkify_wrap, debug_enabled, nan_check
 from .state import TrainState
 
 # Maximum lax.scan trip count compiled into ONE device program. A single
@@ -30,6 +31,17 @@ from .state import TrainState
 # TrainState, so chunk boundaries are exact step boundaries). Override via
 # CL_ICA_TPU_MAX_SCAN_LEN.
 MAX_SCAN_LEN = int(os.environ.get("CL_ICA_TPU_MAX_SCAN_LEN", "10000"))
+
+
+def _jit_step(fn, donate: bool):
+    """jit a step; under CL_ICA_TPU_DEBUG=1 additionally functionalize
+    the nan_check guards via checkify so non-finite losses/grads raise
+    (the reference asserts eagerly at losses.py:214,233 — impossible
+    under jit). Donation is disabled in debug mode (checkify keeps the
+    error state alive across the call)."""
+    if debug_enabled():
+        return checkify_wrap(jax.jit(fn))
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def make_synthetic_train_step(
@@ -68,6 +80,8 @@ def make_synthetic_train_step(
         (total, (pos, neg)), grads = jax.value_and_grad(objective, has_aux=True)(
             state.params
         )
+        total = nan_check(total, "loss")
+        grads = jax.tree.map(lambda g: nan_check(g, "grads"), grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -76,7 +90,7 @@ def make_synthetic_train_step(
         metrics = {"loss": total, "loss_pos": pos, "loss_neg": neg}
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return _jit_step(step, donate)
 
 
 def make_scanned_synthetic_train_steps(
@@ -124,6 +138,7 @@ def make_scanned_synthetic_train_steps(
         (total, (pos, neg)), grads = jax.value_and_grad(objective, has_aux=True)(
             state.params
         )
+        total = nan_check(total, "loss")
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -131,27 +146,24 @@ def make_scanned_synthetic_train_steps(
         )
         return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
 
-    donate_args = (0,) if donate else ()
     max_len = MAX_SCAN_LEN  # snapshot: the limit at factory time governs
 
     if n_inner <= max_len:
         def steps(state: TrainState):
             return jax.lax.scan(one_step, state, None, length=n_inner)
 
-        return jax.jit(steps, donate_argnums=donate_args)
+        return _jit_step(steps, donate)
 
     # chunked: q full-size programs + at most one remainder program
     n_full, rem = divmod(n_inner, max_len)
     chunk_fns = {
-        max_len: jax.jit(
-            lambda s: jax.lax.scan(one_step, s, None, length=max_len),
-            donate_argnums=donate_args,
+        max_len: _jit_step(
+            lambda s: jax.lax.scan(one_step, s, None, length=max_len), donate
         )
     }
     if rem:
-        chunk_fns[rem] = jax.jit(
-            lambda s: jax.lax.scan(one_step, s, None, length=rem),
-            donate_argnums=donate_args,
+        chunk_fns[rem] = _jit_step(
+            lambda s: jax.lax.scan(one_step, s, None, length=rem), donate
         )
     lengths = [max_len] * n_full + ([rem] if rem else [])
 
@@ -199,6 +211,8 @@ def make_data_train_step(
         (total, (pos, neg, batch_stats)), grads = jax.value_and_grad(
             objective, has_aux=True
         )(state.params)
+        total = nan_check(total, "loss")
+        grads = jax.tree.map(lambda g: nan_check(g, "grads"), grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -209,7 +223,7 @@ def make_data_train_step(
         )
         return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return _jit_step(step, donate)
 
 
 class Throughput:

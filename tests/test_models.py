@@ -138,3 +138,58 @@ def test_resnet_s2d_stem():
     v2 = m2.init(key, jnp.zeros((1, 64, 64, 3)))
     out2 = m2.apply(v2, jnp.ones((2, 64, 64, 3)), train=False)
     assert out.shape == out2.shape
+
+
+def test_s2d_exact_stem_equals_conv7():
+    """stem='s2d_exact' computes the SAME function as the 7x7/2 stem from
+    the SAME (7,7,3,64) parameter (space-to-depth weight transform)."""
+    import jax
+    import jax.numpy as jnp
+    from cl_ica_tpu.models.resnet import ResNet18
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    m1 = ResNet18(num_classes=4, stem="conv7")
+    m2 = ResNet18(num_classes=4, stem="s2d_exact")
+    v1 = m1.init(jax.random.PRNGKey(1), x[:1])
+    v2 = m2.init(jax.random.PRNGKey(1), x[:1])
+    v2["params"]["conv_init_kernel"] = v1["params"]["conv_init"]["kernel"]
+    y1 = m1.apply(v1, x, train=False)
+    y2 = m2.apply(v2, x, train=False)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 1e-5
+
+
+def test_fast_batchnorm_matches_torch_semantics():
+    """FastBatchNorm == torch BatchNorm2d: outputs, running mean, and the
+    UNBIASED running variance (flax BatchNorm tracks the biased one)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from cl_ica_tpu.models.layers import FastBatchNorm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 6, 6, 8)) * 1.7 + 0.3
+    fbn = FastBatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    v = fbn.init(jax.random.PRNGKey(1), x)
+    y, mut = fbn.apply(v, x, mutable=["batch_stats"])
+
+    bn = torch.nn.BatchNorm2d(8, momentum=0.1, eps=1e-5)
+    xt = torch.tensor(np.asarray(x).transpose(0, 3, 1, 2))
+    bn.train()
+    yt = bn(xt).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), yt, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["mean"]),
+        bn.running_mean.numpy(), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]),
+        bn.running_var.numpy(), atol=1e-5,
+    )
+    # eval mode uses the running stats
+    bn.eval()
+    yte = bn(xt).detach().numpy().transpose(0, 2, 3, 1)
+    ye = FastBatchNorm(use_running_average=True).apply(
+        {"params": v["params"], "batch_stats": mut["batch_stats"]}, x
+    )
+    np.testing.assert_allclose(np.asarray(ye), yte, atol=1e-5)

@@ -15,6 +15,12 @@ offline dataset format); what this module contributes:
 2. The sharded, resumable render driver (skip-existing semantics,
    `--n-batches/--batch-index` embarrassing parallelism,
    generate_clevr_dataset_images.py:29-49), gated on `import bpy`.
+3. Full scene CONSTRUCTION from the published assets via
+   tools/blender_scene.py (`build_scene`: base blendfile + Cycles config
+   + teapot + tracked spotlight + ground plane — the initialize_renderer
+   / add_objects_and_lights path, generate_clevr_dataset_images.py:
+   61-232). Pass --assets to build from scratch; without it the loop
+   assumes a pre-built scene (objects named Object_0 / Spotlight_Object_0).
 
 Scene assets (base_scene_equal_xyz.blend, materials, the teapot shape)
 are the published CLEVR-derived data accompanying the reference; point
@@ -130,6 +136,24 @@ def render_shard(args):
     os.makedirs(out_dir, exist_ok=True)
     zfill = int(np.ceil(np.log10(n_samples)))
 
+    if args.assets:
+        # build the whole scene from the published assets
+        from .blender_scene import build_scene, cycles_settings
+
+        n_objects = (latents.shape[1] - 1) // 8
+        build_scene(
+            args.assets,
+            shape_names=(args.shape_names or ["Teapot"] * n_objects),
+            material_names=(args.material_names or ["Rubber"] * n_objects),
+            include_lights=not args.no_spotlights,
+            settings=cycles_settings(
+                width=RENDER_SIZE, height=RENDER_SIZE,
+                render_num_samples=RENDER_SAMPLES,
+                render_tile_size=256 if args.use_gpu else 64,
+                use_gpu=args.use_gpu,
+            ),
+        )
+
     scene = bpy.context.scene
     scene.render.engine = "CYCLES"
     scene.render.resolution_x = RENDER_SIZE
@@ -155,7 +179,13 @@ def main(argv=None):
     parser.add_argument("--batch-index", default=0, type=int)
     parser.add_argument("--no-spotlights", action="store_true")
     parser.add_argument("--assets", default=None, type=str,
-                        help="path to the CLEVR-derived scene assets")
+                        help="path to the CLEVR-derived scene assets; when "
+                             "given, the scene is built from scratch "
+                             "(base blendfile + object + spotlight + ground)")
+    parser.add_argument("--use-gpu", action="store_true")
+    parser.add_argument("--shape-names", nargs="*", default=None)
+    parser.add_argument("--material-names", nargs="*", default=None)
+    parser.add_argument("--save-scene", action="store_true")
     args = parser.parse_args(argv)
     if not bpy_available():
         raise SystemExit(

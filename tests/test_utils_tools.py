@@ -185,3 +185,69 @@ def test_trainer_nan_guard_wired(monkeypatch):
     state = TrainState.create(params, opt.init(params), jax.random.PRNGKey(0))
     with np.testing.assert_raises(checkify.JaxRuntimeError):
         step(state)
+
+
+def test_blender_scene_plan_parity():
+    """Declarative scene plan matches the reference's scene parameters
+    (generate_clevr_dataset_images.py:61-232) — bpy-free check."""
+    import numpy as np
+
+    from cl_ica_tpu.tools.blender_scene import cycles_settings, scene_plan
+
+    s = cycles_settings()
+    assert (s["resolution_x"], s["resolution_y"]) == (224, 224)
+    assert s["samples"] == 512
+    assert s["max_bounces"] == 0          # reflections disabled
+    assert s["use_denoising"] is True
+    assert s["transparent_min_bounces"] == 8
+    assert cycles_settings(use_gpu=True)["device"] == "GPU"
+
+    plan = scene_plan(["Teapot"], ["Rubber"], include_lights=True)
+    (obj,) = plan["objects"]
+    assert obj["shape"] == "ShapeTeapot" and obj["scale"] == 1.5
+    spot = obj["spotlight"]
+    assert spot["energy"] == 3000
+    assert abs(spot["spot_size"] - 35 / 180 * np.pi) < 1e-9
+    assert spot["spot_blend"] == 0.1
+    assert spot["falloff_type"] == "CONSTANT"
+    assert spot["track_to"] == "Object_0"
+    assert plan["ground"]["plane_size"] == 1500
+    assert plan["ground"]["color"] == (0.5, 0.5, 0.5, 1.0)
+
+    no_lights = scene_plan(["Teapot"], ["Rubber"], include_lights=False)
+    assert "spotlight" not in no_lights["objects"][0]
+    textured = scene_plan(["Teapot"], ["Rubber"], ground_texture="g.png")
+    assert textured["ground"] == {"texture": "g.png"}
+
+
+def test_synthetic_3dident_fixture_tool(tmp_path):
+    """Fixture generator: deterministic renders, correct packed-store
+    contract, every latent dim visible in the image."""
+    import numpy as np
+
+    from cl_ica_tpu.tools.make_synthetic_3dident import (
+        main as fixture_main,
+        render_batch,
+        sample_latents,
+    )
+
+    out = tmp_path / "fix"
+    fixture_main([
+        "--output-folder", str(out), "--n-points", "32",
+        "--image-size", "32", "--seed", "3",
+    ])
+    lat = np.load(out / "raw_latents.npy")
+    assert lat.shape == (32, 11)
+    packed = np.lib.format.open_memmap(out / "images_packed_32x32.u8")
+    assert packed.shape == (32, 32, 32, 3) and packed.dtype == np.uint8
+    # packed content IS render_batch(latents) — deterministic
+    np.testing.assert_array_equal(
+        np.asarray(packed[:4]), render_batch(lat[:4], size=32)
+    )
+    # per-dim sensitivity
+    z = sample_latents(1, False, 0)
+    base = render_batch(z, 32).astype(int)
+    for k in range(z.shape[1]):
+        z2 = z.copy()
+        z2[0, k] += 0.4 if z2[0, k] < 0.4 else -0.4
+        assert np.abs(render_batch(z2, 32).astype(int) - base).sum() > 0, k

@@ -111,6 +111,12 @@ def parse_args(argv=None):
     parser.add_argument("--log-dir", type=str, default=None,
                         help="Write structured metrics (log.csv + args.json) "
                              "into this directory.")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="Train data-parallel over an N-device mesh: "
+                             "image store row-sharded across chips (fits "
+                             "datasets beyond one chip's HBM), encoder "
+                             "row-sharded, InfoNCE negatives global. "
+                             "0/1 = single device.")
     args = parser.parse_args(argv)
 
     if args.no_spotlight:
@@ -358,10 +364,13 @@ def main(argv=None):
     print("Using latent dimensions:", dims)
     load_images = not (args.dummy_mixing or args.identity_mixing_and_solution)
 
+    use_mesh = args.mesh and args.mesh > 1 and args.mode == "unsupervised"
     if args.mode in ("supervised", "unsupervised"):
         sampler = ThreeDIdentBatchSampler(
             args.offline_dataset, latent_space, args.batch_size,
             latent_dimensions_to_use=dims, load_images=load_images,
+            # mesh path shards the store itself; skip the single-device copy
+            device_images=False if use_mesh else None,
         )
     else:
         sampler = SequentialThreeDIdent(
@@ -550,6 +559,31 @@ def main(argv=None):
         lin_mse = ((z_test - hz_lin) ** 2).mean(0)
         return mcc, lin, mse, lin_mse
 
+    # ---- multi-chip path: mesh-sharded store + sharded train step ----
+    mesh_step = None
+    if use_mesh and load_images and sampler.images is not None \
+            and sampler.images._packed is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import (
+            make_mesh,
+            make_sharded_3dident_train_step,
+            pad_rows_to_multiple,
+        )
+
+        mesh = make_mesh(args.mesh)
+        padded, _ = pad_rows_to_multiple(sampler.images._packed, args.mesh)
+        sharded_store = jax.device_put(
+            padded, NamedSharding(mesh, P("data"))
+        )
+        mesh_step = make_sharded_3dident_train_step(
+            mesh, sampler._sample, apply_model, split_loss, optimizer,
+            padded.shape, normalize_3dident,
+        )
+        root_key, mesh_key = jax.random.split(root_key)
+        print(f"mesh path: {args.mesh} devices, store {padded.shape} "
+              f"row-sharded", flush=True)
+
     throughput = Throughput()
     total_loss_values = []
 
@@ -579,6 +613,36 @@ def main(argv=None):
         profile_ctx.__enter__()
     if args.mode == "unsupervised":
         for step in range(args.iterations):
+            if mesh_step is not None:
+                params, opt_state, batch_stats, mesh_key, total = mesh_step(
+                    params, opt_state, batch_stats, mesh_key, sharded_store
+                )
+                total = float(total)
+                per_item_std = 0.0
+                total_loss_values.append(total)
+                throughput.update(args.batch_size)
+                if step % args.n_log_steps == 0 or step == args.iterations:
+                    mcc, lin, mse, lin_mse = evaluate()
+                    pps = throughput.pairs_per_sec
+                    print(
+                        f"[{datetime.now().strftime('%Y-%m-%d_%H:%M:%S')}] \t",
+                        f"Step: {step + 1} \t",
+                        f"Loss: {total:.6f} \t",
+                        f"Lin. Disentanglement: {lin:.6f} \t",
+                        f"Perm. Disentanglement (MCC): {mcc:.4f}",
+                        (f"pairs/s: {pps:.0f}" if pps else ""),
+                        flush=True,
+                    )
+                    logger.log(step + 1, {
+                        "loss": total,
+                        "linear_disentanglement": lin,
+                        "perm_disentanglement": mcc,
+                        "pairs_per_sec": pps or 0.0,
+                    })
+                if (args.save_every is not None
+                        and (step + 1) % args.save_every == 0):
+                    save_model(args.save_model + f".iteration_{step + 1}")
+                continue
             root_key, k = jax.random.split(root_key)
             z1, x1, z2, x2 = next_train_batch(k)
             if args.identity_mixing_and_solution:

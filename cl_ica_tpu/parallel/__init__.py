@@ -18,10 +18,13 @@ from .collective import (
     sharded_lp_neg_lse,
     sharded_lp_simclr_loss,
     sharded_store_gather,
+    store_gather_shardmap,
 )
 from .sharded import (
     make_sharded_synthetic_train_step,
     make_sharded_data_train_step,
+    make_sharded_3dident_train_step,
+    pad_rows_to_multiple,
     shard_batch,
 )
 
@@ -35,4 +38,7 @@ __all__ = [
     "sharded_lp_neg_lse",
     "sharded_lp_simclr_loss",
     "sharded_store_gather",
+    "store_gather_shardmap",
+    "make_sharded_3dident_train_step",
+    "pad_rows_to_multiple",
 ]

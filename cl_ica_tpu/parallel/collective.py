@@ -96,20 +96,10 @@ def sharded_lp_simclr_loss(
     )
 
 
-def sharded_store_gather(mesh: Mesh, store_shape, axis: str = "data"):
-    """Batch row-gather from a mesh-sharded device store.
-
-    For datasets beyond one chip's HBM (the real 3DIdent render set is
-    37 GB vs 16 GB HBM on v5e): shard the packed (N, ...) uint8 store
-    row-wise over `axis` (N divisible by the axis size); each chip
-    contributes the requested rows it owns and a psum assembles the
-    (B, ...) batch on every chip. Communication is one psum of batch
-    volume — independent of store size.
-
-    Returns fn(store_sharded, idx_replicated) -> (B, ...) batch,
-    replicated. Place the store with
-    jax.device_put(arr, NamedSharding(mesh, P(axis))).
-    """
+def store_gather_shardmap(mesh: Mesh, store_shape, axis: str = "data"):
+    """Unjitted shard_map gather over a row-sharded store — composable
+    inside a larger jitted step (see sharded.make_sharded_3dident_train_
+    step). Same semantics as sharded_store_gather below."""
     n_rows = store_shape[0]
     n_shards = mesh.shape[axis]
     assert n_rows % n_shards == 0, (n_rows, n_shards)
@@ -126,11 +116,23 @@ def sharded_store_gather(mesh: Mesh, store_shape, axis: str = "data"):
         )
         return jax.lax.psum(contrib, axis)
 
-    return jax.jit(
-        jax.shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=(P(axis), P()),
-            out_specs=P(),
-        )
+    return jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=P()
     )
+
+
+def sharded_store_gather(mesh: Mesh, store_shape, axis: str = "data"):
+    """Batch row-gather from a mesh-sharded device store.
+
+    For datasets beyond one chip's HBM (the real 3DIdent render set is
+    37 GB vs 16 GB HBM on v5e): shard the packed (N, ...) uint8 store
+    row-wise over `axis` (N divisible by the axis size); each chip
+    contributes the requested rows it owns and a psum assembles the
+    (B, ...) batch on every chip. Communication is one psum of batch
+    volume — independent of store size.
+
+    Returns fn(store_sharded, idx_replicated) -> (B, ...) batch,
+    replicated. Place the store with
+    jax.device_put(arr, NamedSharding(mesh, P(axis))).
+    """
+    return jax.jit(store_gather_shardmap(mesh, store_shape, axis))

@@ -197,3 +197,91 @@ def test_sharded_store_gather():
     np.testing.assert_allclose(
         np.asarray(out), store[np.asarray(idx)].astype(np.float32)
     )
+
+
+def test_sharded_3dident_step_matches_single_device(tmp_path):
+    """make_sharded_3dident_train_step (mesh-sharded store + row-sharded
+    encoder + global negatives) computes the same loss and parameter
+    update as the equivalent single-device math (VERDICT r1 #9)."""
+    import os
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cl_ica_tpu.data import ThreeDIdentBatchSampler
+    from cl_ica_tpu.parallel import (
+        make_sharded_3dident_train_step,
+        pad_rows_to_multiple,
+    )
+    from cl_ica_tpu.spaces import NBoxSpace
+
+    # tiny fixture: 200 renders of 8x8x3, 4 latent dims
+    rng = np.random.default_rng(0)
+    root = tmp_path / "d"
+    os.makedirs(root)
+    lat = rng.uniform(-1, 1, (200, N)).astype(np.float32)
+    np.save(root / "raw_latents.npy", lat)
+    packed = np.lib.format.open_memmap(
+        root / "images_packed_8x8.u8", mode="w+", dtype=np.uint8,
+        shape=(200, 8, 8, 3),
+    )
+    packed[:] = rng.integers(0, 255, (200, 8, 8, 3), dtype=np.uint8)
+    packed.flush()
+
+    latent = LatentSpace(
+        NBoxSpace(N, -1, 1),
+        sample_marginal=lambda sp, k, size: sp.uniform(k, size),
+        sample_conditional=lambda sp, k, z, size: sp.normal(k, z, 0.2, size),
+    )
+    sampler = ThreeDIdentBatchSampler(
+        str(root), latent, batch_size=16, device_images=False
+    )
+
+    enc = get_mlp(8 * 8 * 3, N, [32])
+    params = enc.init(jax.random.PRNGKey(3), jnp.zeros((2, 8 * 8 * 3)))
+
+    def apply_model(p, bs, x, train):
+        return enc.apply(p, x.reshape(x.shape[0], -1)), bs
+
+    loss = LpSimCLRLoss(p=2.0, simclr_compatibility_mode=True)
+    split = lambda z1, z2, z3: loss(None, None, None, z1, z2, z3)
+    # sgd: parameter delta is proportional to the gradient, so cross-shard
+    # float reassociation stays at ~1e-6 rel (adam's first step is
+    # ~lr*sign(g) and amplifies it at zero crossings)
+    opt = optax.sgd(0.1)
+    normalize = lambda raw: raw / 255.0
+
+    mesh = make_mesh(8)
+    padded, n_orig = pad_rows_to_multiple(sampler.images._packed, 8)
+    assert padded.shape[0] % 8 == 0 and n_orig == 200
+    store = jax.device_put(padded, NamedSharding(mesh, P("data")))
+
+    step = make_sharded_3dident_train_step(
+        mesh, sampler._sample, apply_model, split, opt, padded.shape,
+        normalize, donate=False,
+    )
+    key0 = jax.random.PRNGKey(7)
+    p1, o1, _, key1, loss_sharded = step(params, opt.init(params), None,
+                                         key0, store)
+
+    # single-device reference with the identical RNG path
+    _, k = jax.random.split(key0)
+    idx_z, idx_zt, _, _ = sampler._sample(k)
+    x = normalize(jnp.asarray(padded)[idx_z].astype(jnp.float32))
+    xt = normalize(jnp.asarray(padded)[idx_zt].astype(jnp.float32))
+
+    def objective(p):
+        z, _ = apply_model(p, None, jnp.concatenate([x, xt], 0), True)
+        z1r, z2r = z[:16], z[16:]
+        total, _, _ = split(z1r, z2r, jnp.roll(z1r, 1, axis=0))
+        return total
+
+    total_ref, grads = jax.value_and_grad(objective)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        float(loss_sharded), float(total_ref), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)

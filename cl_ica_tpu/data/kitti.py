@@ -315,3 +315,46 @@ def return_data(args):
         max_delta_t=args.kitti_max_delta_t,
     )
     return data, args.batch_size // 2, 1
+
+
+def test_data(dataset: "KittiMasks", plot: bool = False, batch_pairs: int = 16,
+              seed: int = 0):
+    """Visual/printed sanity harness for a KittiMasks corpus (reference
+    kitti_masks/dataset.py:182-224): prints corpus stats, draws one
+    interleaved pair batch, and optionally shows a matplotlib grid of
+    frames titled with their latents.
+
+    Debug-only; matplotlib is imported lazily and only when plot=True.
+    """
+    import numpy as np
+
+    n_frames = sum(len(seq) for seq in dataset.data)
+    mins = min(float(np.min(seq)) for seq in dataset.data)
+    maxs = max(float(np.max(seq)) for seq in dataset.data)
+    print(
+        f"dataset: {len(dataset.data)} sequences, {n_frames} frames, "
+        f"min {mins}, max {maxs}, dtype {dataset.data[0].dtype}, "
+        f"latents dim {np.asarray(dataset.latents[0]).shape[-1]}"
+    )
+
+    rng = np.random.default_rng(seed)
+    x1, x2, z1, z2 = dataset.sample_pair_batch(batch_pairs, rng)
+    b = interleave_pairs(np.asarray(x1), np.asarray(x2))
+    lat = interleave_pairs(np.asarray(z1), np.asarray(z2))
+    print(
+        f"batch {b.shape} {b.dtype}, min {b.min()}, max {b.max()}, "
+        f"latents {lat.shape}"
+    )
+    if plot:
+        import matplotlib.pyplot as plt
+
+        n = min(32, len(b))
+        plt.figure(figsize=(12, 12))
+        for i in range(n):
+            plt.subplot((n + 3) // 4, 4, i + 1)
+            plt.imshow(b[i])
+            plt.title(np.array2string(lat[i], precision=2))
+            plt.axis("off")
+        plt.tight_layout()
+        plt.show()
+    return b, lat

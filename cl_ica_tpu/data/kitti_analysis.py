@@ -52,6 +52,8 @@ def fit_transition_distributions(deltas: np.ndarray) -> List[Dict]:
             row[f"{name}_params"] = tuple(float(p) for p in params)
             row[f"{name}_ks_stat"] = float(ks_stat)
             row[f"{name}_ks_p"] = float(ks_p)
+            # log-likelihood of the fit (data_analysis_utils.py:175-178)
+            row[f"{name}_ll"] = float(dist.logpdf(x, *params).sum())
         rows.append(row)
     return rows
 
@@ -103,10 +105,87 @@ def load_csv(path: str) -> np.ndarray:
     return np.asarray(values)
 
 
-def generate_dataframe(dataset, max_delta_t: int = 1):
-    """Summary table as a pandas DataFrame (optional dependency)."""
+def generate_dataframe(dataset, max_delta_t: int = 1, mi: bool = False,
+                       mi_samples: int = 20000):
+    """Summary table as a pandas DataFrame: per-dim candidate fits (KS,
+    log-likelihood, kurtosis) plus pairwise Pearson (and optional MI)
+    between factor deltas (data_analysis_utils.py:134-220)."""
     import pandas as pd
 
     deltas = latent_deltas(dataset, max_delta_t)
     rows = fit_transition_distributions(deltas)
+    # pairwise dependence between the factor deltas (y, x, area)
+    names = ["y", "x", "area"][: deltas.shape[1]]
+    for i in range(deltas.shape[1]):
+        for j in range(i + 1, deltas.shape[1]):
+            r, pval = sps.pearsonr(deltas[:, i], deltas[:, j])
+            for row in rows:
+                row[f"pearson_{names[i]}_{names[j]}"] = float(r)
+    if mi:
+        from sklearn.feature_selection import mutual_info_regression
+
+        rng = np.random.default_rng(0)
+        idx = rng.choice(
+            len(deltas), min(mi_samples, len(deltas)), replace=False
+        )
+        for i in range(deltas.shape[1]):
+            for j in range(i + 1, deltas.shape[1]):
+                v = float(
+                    mutual_info_regression(
+                        deltas[idx, i].reshape(-1, 1), deltas[idx, j],
+                        random_state=0,
+                    )[0]
+                )
+                for row in rows:
+                    row[f"mi_{names[i]}_{names[j]}"] = v
     return pd.DataFrame(rows)
+
+
+def find_best_dataframe(df, criterion: str = "ll"):
+    """Per-dim winner by criterion ('ll' largest, 'ks_p' largest, or
+    'ks_stat' smallest) — data_analysis_utils.find_best(:223-240)."""
+    cols = [c for c in df.columns if c.endswith(f"_{criterion}")
+            or (criterion == "ks_stat" and c.endswith("_ks_stat"))]
+    sub = df[cols].astype(float)
+    winner = sub.idxmin(axis=1) if criterion == "ks_stat" else sub.idxmax(axis=1)
+    out = df[["dim", "kurtosis"]].copy()
+    out[f"best_{criterion}"] = [c.rsplit("_", 1 + criterion.count("_"))[0]
+                                for c in winner]
+    return out
+
+
+# ---- matplotlib debug plots (data_analysis_utils.py:88-133) ----
+
+
+def plot_delta_hist(deltas: np.ndarray, dim: int, bins: int = 100,
+                    semilogy: bool = True, ax=None):
+    """Histogram of one factor's transition deltas (plot_diff analog)."""
+    import matplotlib.pyplot as plt
+
+    ax = ax or plt.gca()
+    ax.hist(deltas[:, dim], bins=bins)
+    if semilogy:
+        ax.set_yscale("log")
+    ax.set_title(f"delta dim {dim}")
+    return ax
+
+
+def visualize_mask(mask: np.ndarray, ax=None):
+    """Show one mask frame (data_analysis_utils.visualize_mask)."""
+    import matplotlib.pyplot as plt
+
+    ax = ax or plt.gca()
+    ax.imshow(np.asarray(mask))
+    ax.axis("off")
+    return ax
+
+
+def plot_loss_csv(path: str, ax=None):
+    """Plot a solver log.csv loss trace."""
+    import matplotlib.pyplot as plt
+
+    ax = ax or plt.gca()
+    ax.plot(load_csv(path))
+    ax.set_xlabel("log window")
+    ax.set_ylabel("loss")
+    return ax

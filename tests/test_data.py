@@ -254,3 +254,34 @@ def test_threedident_device_store_budget(threedident_root):
         threedident_root, ls, 8, device_image_budget_bytes=16  # too small
     )
     assert sampler.device_store is None  # falls back to host gathers
+
+
+def test_kitti_analysis_dataframe_and_harness(kitti_root, capsys):
+    """Dataframe layer (fits + ll + pearson + optional MI) and the
+    visual sanity harness (reference dataset.py:182-224)."""
+    from cl_ica_tpu.data.kitti import KittiMasks, test_data
+    from cl_ica_tpu.data.kitti_analysis import (
+        find_best_dataframe,
+        generate_dataframe,
+        latent_deltas,
+        plot_delta_hist,
+    )
+
+    ds = KittiMasks(path=kitti_root, download=False)
+    df = generate_dataframe(ds, mi=True, mi_samples=50)
+    assert len(df) == 3
+    for col in ("gennorm_ll", "laplace_ks_p", "pearson_y_x", "mi_y_x",
+                "kurtosis"):
+        assert col in df.columns, col
+    best = find_best_dataframe(df, criterion="ll")
+    assert set(best["best_ll"]) <= {"gennorm", "norm", "laplace"}
+
+    b, lat = test_data(ds, plot=False, batch_pairs=4)
+    assert b.shape[0] == 8 and lat.shape == (8, 3)
+    out = capsys.readouterr().out
+    assert "sequences" in out and "batch" in out
+
+    import matplotlib
+    matplotlib.use("Agg")
+    ax = plot_delta_hist(latent_deltas(ds), dim=0)
+    assert ax is not None

@@ -280,7 +280,8 @@ class SplitCombinedCLLoss(CLLoss):
         assert len(weights) == len(losses_and_indices)
         for l in losses_and_indices:
             assert isinstance(l, (tuple, list)) and len(l) == 3
-            assert isinstance(l[1], int) and isinstance(l[2], int)
+            assert isinstance(l[1], int)
+            assert l[2] is None or isinstance(l[2], int)  # None = full width
         self.weights = list(weights)
         self.losses_and_indices = losses_and_indices
 
@@ -312,32 +313,12 @@ class SplitCombinedCLLoss(CLLoss):
 
 
 class CombinedCLLoss(SplitCombinedCLLoss):
-    """Apply several losses to the full data (losses.py:154-159)."""
+    """Apply several losses to the full data (losses.py:154-159): the
+    (0, None) chunk is the full width, so the parent's dispatch applies
+    unchanged."""
 
     def __init__(self, losses, weights=None):
-        super().__init__([(l, 0, -1) for l in losses], weights=weights)
-
-    def loss(self, z1, z2_con_z1, z3, z1_rec, z2_con_z1_rec, z3_rec):
-        # start/end of (0, -1) means "full width"; -1 would drop the last
-        # dim under slicing, so override with full slices.
-        loss_values, per_item_values, individual = [], [], []
-        for (l, _, _), w in zip(self.losses_and_indices, self.weights):
-            if isinstance(l, MarginalPairCLLoss):
-                tl, lpi, ils = l(z1_rec, z3_rec)
-            elif isinstance(l, ConditionalPairCLLoss):
-                tl, lpi, ils = l(z1_rec, z2_con_z1_rec)
-            elif isinstance(l, CLLoss):
-                tl, lpi, ils = l(z1, z2_con_z1, z3, z1_rec, z2_con_z1_rec, z3_rec)
-            elif isinstance(l, MarginalSingleCLLoss):
-                tl, lpi, ils = l(z1)
-            else:
-                raise ValueError(f"Invalid loss type: {type(l)}")
-            loss_values.append(tl)
-            per_item_values.append(lpi)
-            individual.append(ils)
-        total = sum(w * l for l, w in zip(loss_values, self.weights))
-        per_item = sum(w * lpi for lpi, w in zip(per_item_values, self.weights))
-        return total, per_item, list(zip(loss_values, individual, individual))
+        super().__init__([(l, 0, None) for l in losses], weights=weights)
 
 
 @dataclasses.dataclass

@@ -593,7 +593,10 @@ def main(argv=None):
         from ..data import PrefetchingPairLoader
 
         root_key, k_loader = jax.random.split(root_key)
-        prefetcher = PrefetchingPairLoader(sampler, k_loader)
+        prefetcher = PrefetchingPairLoader(
+            sampler, k_loader,
+            num_workers=args.workers or (os.cpu_count() or 1),
+        )
 
     def next_train_batch(k):
         """Training batches: fully on-device when the packed image store

@@ -254,27 +254,36 @@ class SequentialThreeDIdent:
 
 
 class PrefetchingPairLoader:
-    """Double-buffered host-side pipeline over ThreeDIdentBatchSampler.
+    """Multi-worker host-side pipeline over ThreeDIdentBatchSampler.
 
-    While the accelerator executes step t, a worker thread runs the NN
-    matching for step t+1 and gathers its images (the C++ packed gatherer
-    releases the GIL, so the copy overlaps Python and device work). The
-    TPU-side analog of the reference's DataLoader worker pool
-    (main_3dident.py:843-848) with batch-granular work items instead of
-    per-sample ones.
+    While the accelerator executes step t, worker threads run the NN
+    matching for upcoming steps and gather their images (the C++ packed
+    gatherer releases the GIL, so gathers from multiple workers — and
+    the interpreter — genuinely overlap). The TPU-side analog of the
+    reference's DataLoader worker pool (main_3dident.py:843-848) with
+    batch-granular work items instead of per-sample ones; num_workers
+    matches the reference's --workers knob. Batches are IID, so worker
+    interleaving does not change semantics (each worker owns an
+    independent fold of the key).
     """
 
-    def __init__(self, sampler: ThreeDIdentBatchSampler, key, depth: int = 2):
+    def __init__(
+        self,
+        sampler: ThreeDIdentBatchSampler,
+        key,
+        depth: int = 2,
+        num_workers: int = 1,
+    ):
         import queue
         import threading
 
+        num_workers = max(1, num_workers)
         self._sampler = sampler
-        self._queue = queue.Queue(maxsize=depth)
+        self._queue = queue.Queue(maxsize=max(depth, num_workers))
         self._stop = threading.Event()
-        self._key = key
 
-        def worker():
-            key = self._key
+        def worker(worker_key):
+            key = worker_key
             while not self._stop.is_set():
                 key, sub = jax.random.split(key)
                 idx_z, idx_zt, z, zt = sampler.sample_latent_batch(sub)
@@ -288,8 +297,12 @@ class PrefetchingPairLoader:
                     except queue.Full:
                         continue
 
-        self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=worker, args=(k,), daemon=True)
+            for k in jax.random.split(key, num_workers)
+        ]
+        for t in self._threads:
+            t.start()
 
     def __iter__(self):
         return self

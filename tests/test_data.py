@@ -285,3 +285,19 @@ def test_kitti_analysis_dataframe_and_harness(kitti_root, capsys):
     matplotlib.use("Agg")
     ax = plot_delta_hist(latent_deltas(ds), dim=0)
     assert ax is not None
+
+
+def test_prefetching_pair_loader_multi_worker(threedident_root, key):
+    from cl_ica_tpu.data import PrefetchingPairLoader, ThreeDIdentBatchSampler
+
+    sampler = ThreeDIdentBatchSampler(
+        threedident_root, _latent_space(), batch_size=8, device_images=False
+    )
+    loader = PrefetchingPairLoader(sampler, key, num_workers=3)
+    seen = set()
+    for _ in range(6):
+        (z, zt), (x, xt) = next(loader)
+        assert x.shape == (8, 8, 8, 3) and z.shape == (8, 4)
+        seen.add(float(np.sum(np.asarray(z))))
+    loader.close()
+    assert len(seen) > 1  # distinct batches from distinct worker keys

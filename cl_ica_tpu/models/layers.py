@@ -132,3 +132,56 @@ class FastBatchNorm(nn.Module):
         a = inv.astype(x.dtype)
         b = (bias - mean * inv).astype(x.dtype)
         return x * a + b
+
+
+class StemBNReLUPool(nn.Module):
+    """Fused BatchNorm→ReLU→3×3/2-maxpool (the ResNet stem tail).
+
+    Parameter/stat names match FastBatchNorm ("scale"/"bias",
+    batch_stats "mean"/"var"), so checkpoints interchange with the
+    unfused ``norm → relu → max_pool`` stem. Training mode runs the
+    Pallas kernel from ops/stem_pallas.py (minimal-residual custom VJP —
+    see that module's HBM-traffic rationale); eval mode is the plain
+    jnp composition (not a training hot path).
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: object = nn.initializers.ones
+    bias_init: object = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        from ..ops.stem_pallas import bn_relu_pool_train
+
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", self.bias_init, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average or self.is_initializing():
+            mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            a = inv.astype(x.dtype)
+            b = (bias - mean * inv).astype(x.dtype)
+            z = nn.relu(x * a + b)
+            return nn.max_pool(
+                z, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
+        interpret = jax.default_backend() == "cpu"
+        pooled, mean, var = bn_relu_pool_train(
+            x, scale, bias, self.epsilon, interpret
+        )
+        m = self.momentum
+        n = x.size / c
+        ra_mean.value = m * ra_mean.value + (1 - m) * mean
+        # running var uses the unbiased estimate (torch parity)
+        ra_var.value = m * ra_var.value + (1 - m) * var * (n / max(n - 1, 1))
+        return pooled

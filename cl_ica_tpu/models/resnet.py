@@ -89,6 +89,11 @@ class ResNet(nn.Module):
     # 'none':  no normalization (diagnostic)
     norm_kind: str = "batch"
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM traffic
+    # Fuse the stem's BN+ReLU+maxpool into one Pallas kernel with a
+    # minimal-residual VJP (ops/stem_pallas.py) — deletes the 112²×64
+    # post-BN activation and the backward SelectAndScatter from HBM.
+    # Same math/params as norm_kind='fast' (checkpoints interchange).
+    fused_stem_pool: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -165,9 +170,21 @@ class ResNet(nn.Module):
         else:
             x = conv(self.num_filters, (7, 7), (2, 2),
                      padding=[(3, 3), (3, 3)], name="conv_init")(x)
-        x = norm(name="bn_init")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.fused_stem_pool:
+            from .layers import StemBNReLUPool
+
+            x = StemBNReLUPool(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                name="bn_init",
+            )(x)
+        else:
+            x = norm(name="bn_init")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
         block_cls = (
             nn.remat(self.block_cls) if self.remat else self.block_cls
         )

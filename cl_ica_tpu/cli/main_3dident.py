@@ -102,6 +102,10 @@ def parse_args(argv=None):
     parser.add_argument("--encoder", default="rn18",
                         choices=("rn18", "rn50", "rn101", "rn151"))
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--fused-stem", action="store_true",
+                        help="Fused Pallas BN+ReLU+maxpool stem + "
+                             "FastBatchNorm (exact same math, less HBM "
+                             "traffic; checkpoints interchange)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute in the encoder backbone "
                              "(MXU throughput; params stay fp32)")
@@ -225,6 +229,9 @@ class ThreeDIdentEncoder(nn.Module):
     dummy_mixing: bool = False
     identity_solution: bool = False
     dtype: object = jnp.float32
+    # fused Pallas stem + FastBatchNorm (ops/stem_pallas.py): same math,
+    # less HBM traffic; checkpoints interchange with the default stem
+    fused_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -239,7 +246,12 @@ class ThreeDIdentEncoder(nn.Module):
                 "rn18": ResNet18, "rn50": ResNet50,
                 "rn101": ResNet101, "rn151": ResNet152,
             }[self.encoder]
-            h = backbone(num_classes=n * 10, dtype=self.dtype)(x, train=train)
+            h = backbone(
+                num_classes=n * 10,
+                dtype=self.dtype,
+                norm_kind="fast" if self.fused_stem else "batch",
+                fused_stem_pool=self.fused_stem,
+            )(x, train=train)
             h = nn.leaky_relu(h)
             h = nn.Dense(n)(h)
 
@@ -349,6 +361,7 @@ def main(argv=None):
         dummy_mixing=args.dummy_mixing,
         identity_solution=args.identity_solution,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        fused_stem=args.fused_stem,
     )
 
     g = None

@@ -102,3 +102,36 @@ def test_main_3dident_test_mode_sweep(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "MCC" in r.stdout
+
+
+def test_main_3dident_fused_stem_trains(tmp_path):
+    """--fused-stem (Pallas BN+ReLU+maxpool stem, interpret mode on CPU)
+    trains through the real image path end-to-end."""
+    import numpy as np
+
+    from cl_ica_tpu.tools.make_synthetic_3dident import render_batch
+
+    root = tmp_path / "data"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(-1, 1, (48, 10)).astype(np.float32)
+    np.save(root / "raw_latents.npy", lat)
+    imgs = render_batch(lat, size=32)  # (48, 32, 32, 3) uint8
+    store = np.lib.format.open_memmap(
+        root / "images_packed_32x32.u8", mode="w+", dtype=np.uint8,
+        shape=imgs.shape,
+    )
+    store[:] = imgs
+    store.flush()
+    r = _run_env(
+        [
+            "cl_ica_tpu.cli.main_3dident", "--mode", "unsupervised",
+            "--offline-dataset", str(root),
+            "--non-periodic-rotation-and-color",
+            "--fused-stem", "--batch-size", "8", "--iterations", "4",
+            "--n-log-steps", "2", "--n-eval-samples", "16", "--seed", "0",
+        ],
+        {},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "MCC" in r.stdout

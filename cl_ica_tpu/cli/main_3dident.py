@@ -485,8 +485,21 @@ def main(argv=None):
                                     normalize_3dident(jnp.asarray(x))), None, None
         idx_z, idx_zt, z, zt = sampler.sample_latent_batch(key)
         if load_images:
-            x = normalize_3dident(jnp.asarray(sampler.images.gather(np.asarray(idx_z))))
-            xt = normalize_3dident(jnp.asarray(sampler.images.gather(np.asarray(idx_zt))))
+            if getattr(sampler, "device_store", None) is not None:
+                # store fits HBM: gather on device (the supervised-mode
+                # hot path; the unsupervised loop uses the fully fused
+                # _sample_with_images instead)
+                x = normalize_3dident(
+                    jnp.take(sampler.device_store, idx_z, axis=0)
+                )
+                xt = normalize_3dident(
+                    jnp.take(sampler.device_store, idx_zt, axis=0)
+                )
+            else:
+                x = normalize_3dident(jnp.asarray(
+                    sampler.images.gather(np.asarray(idx_z))))
+                xt = normalize_3dident(jnp.asarray(
+                    sampler.images.gather(np.asarray(idx_zt))))
         elif args.dummy_mixing:
             x, xt = g_jit(z), g_jit(zt)
         else:  # identity mixing

@@ -38,7 +38,15 @@ def main():
     n_latents = 10
     steps = 20
 
-    model = ResNet18(num_classes=n_latents, dtype=jnp.bfloat16)
+    # CL_ICA_BENCH_STEM=fused selects the fused Pallas BN+ReLU+maxpool
+    # stem (ops/stem_pallas.py; same math as norm_kind='fast').
+    fused = os.environ.get("CL_ICA_BENCH_STEM", "") == "fused"
+    model = ResNet18(
+        num_classes=n_latents,
+        dtype=jnp.bfloat16,
+        norm_kind="fast" if fused else "batch",
+        fused_stem_pool=fused,
+    )
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
     )

@@ -21,6 +21,19 @@ stem (used via `/root/reference/main_3dident.py:288-385`); BN math is
 stats accumulated in fp32 directly from the bf16 input, elementwise
 affine applied in the input dtype).
 
+Mosaic layout strategy (the part that makes this compile on TPU):
+(H, W, C) tensors tile their LAST TWO dims onto (sublane, lane) vectors,
+so stride-2 W-subsampling via reshape is an "unsupported shape cast".
+Instead the kernel works on x viewed as (H, W/2, 2C) — a free,
+contiguous reshape done in XLA outside the kernel — where the two lane
+halves [0:C] / [C:2C] are the even/odd W columns. The W window of
+output col j is then {B[j−1], A[j], B[j]} (one sublane shift + two
+static lane slices), and the H window rides the untiled leading dim
+(pad + leading-dim reshapes are free). Padding uses ZERO fill, which is
+exactly equivalent to −inf here: z = relu(y) ≥ 0, and any window whose
+max is 0 contributes no gradient anywhere because the ReLU mask (y > 0)
+kills it — value- and gradient-exact vs nn.max_pool semantics.
+
 Gradient notes:
 - Full through-the-statistics BatchNorm backward
   (dx = γσ⁻¹·[dy − Σdy/M − x̂·Σ(dy·x̂)/M]).
@@ -28,6 +41,9 @@ Gradient notes:
   (matches XLA's SelectAndScatter select order). The argmax is
   recomputed in both backward sweeps from x — bit-identical to the
   forward because the same dtypes and op order are used.
+- Kernels bound their live-temporary set by accumulating through VMEM
+  refs (a functional 9-leaf max tree kept every window view alive at
+  once and blew Mosaic's VMEM stack at 112²×64 blocks).
 """
 
 from __future__ import annotations
@@ -39,15 +55,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# generous scoped-VMEM cap: the per-image working set (z map + argmax +
+# dz/dy scratch) exceeds Mosaic's 16 MB default at 112×112×64
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+# ---------------------------------------------------------------------------
+# functional spec (oracle for the interpreter tests; also documents the
+# exact window/tie semantics the kernels implement)
+# ---------------------------------------------------------------------------
+
 
 def _pool_views(zp):
-    """9 shifted (Ho, Wo, C) views of a padded (H+2, W+2, C) map.
-
-    Windows of the 3×3/stride-2/pad-1 maxpool: output (i, j) covers
-    padded rows 2i..2i+2 and cols 2j..2j+2. Built from reshapes +
-    static slices only (no strided slicing — lowers cleanly in Mosaic).
-    Returned in row-major (dh, dw) order, which defines the tie-break.
-    """
+    """9 shifted (Ho, Wo, C) views of a padded (H+2, W+2, C) map, in
+    row-major (dh, dw) window order (defines the tie-break)."""
     hp, wp, c = zp.shape
     h, w = hp - 2, wp - 2
     ho, wo = h // 2, w // 2
@@ -84,28 +105,25 @@ def _pad_neg_inf(z):
     return jnp.pad(z, ((1, 1), (1, 1), (0, 0)), constant_values=neg)
 
 
-def _shift_up(a):
-    """A[i+1, j] with zero fill (drop row 0 ... i.e. rows 1..n, pad end)."""
-    return jnp.pad(a[1:], ((0, 1), (0, 0), (0, 0)))
+def _shift_up_3d(a):
+    """A[i+1, ...] with zero fill on the last row."""
+    return jnp.pad(a[1:], ((0, 1),) + ((0, 0),) * (a.ndim - 1))
 
 
-def _shift_left(a):
+def _shift_left_w(a):
+    """A[:, j+1, :] with zero fill on the last column."""
     return jnp.pad(a[:, 1:], ((0, 0), (0, 1), (0, 0)))
 
 
 def _scatter_pool_grad(g, arg):
-    """Distribute pooled-output grads back to input positions.
+    """Distribute pooled-output grads back to input positions (spec).
 
-    For input position (h, w): the windows containing it are the ≤4
-    output cells (i, j) with 2i−1 ≤ h ≤ 2i+1 (ditto w); the grad lands
-    there iff that window's argmax offset points at (h, w). Assembled
-    as four interleaved parity quadrants from the per-offset masked
-    grads C_k = g·[arg = k] (k = 3·dh + dw), avoiding any scatter op:
+    dz[2m,   2n  ] = C4[m, n]
+    dz[2m,   2n+1] = C3[m, n+1] + C5[m, n]
+    dz[2m+1, 2n  ] = C1[m+1, n] + C7[m, n]
+    dz[2m+1, 2n+1] = C0[m+1, n+1] + C2[m+1, n] + C6[m, n+1] + C8[m, n]
 
-      dz[2m,   2n  ] = C4[m, n]
-      dz[2m,   2n+1] = C3[m, n+1] + C5[m, n]
-      dz[2m+1, 2n  ] = C1[m+1, n] + C7[m, n]
-      dz[2m+1, 2n+1] = C0[m+1, n+1] + C2[m+1, n] + C6[m, n+1] + C8[m, n]
+    where C_k = g·[arg = k] and out-of-range C is zero.
     """
     ho, wo, c = g.shape
 
@@ -113,12 +131,12 @@ def _scatter_pool_grad(g, arg):
         return jnp.where(arg == k, g, jnp.zeros_like(g))
 
     q_ee = ck(4)
-    q_eo = _shift_left(ck(3)) + ck(5)
-    q_oe = _shift_up(ck(1)) + ck(7)
+    q_eo = _shift_left_w(ck(3)) + ck(5)
+    q_oe = _shift_up_3d(ck(1)) + ck(7)
     q_oo = (
-        _shift_up(_shift_left(ck(0)))
-        + _shift_up(ck(2))
-        + _shift_left(ck(6))
+        _shift_up_3d(_shift_left_w(ck(0)))
+        + _shift_up_3d(ck(2))
+        + _shift_left_w(ck(6))
         + ck(8)
     )
     row_even = jnp.stack([q_ee, q_eo], axis=2).reshape(ho, 2 * wo, c)
@@ -126,25 +144,8 @@ def _scatter_pool_grad(g, arg):
     return jnp.stack([row_even, row_odd], axis=1).reshape(2 * ho, 2 * wo, c)
 
 
-# ---------------------------------------------------------------------------
-# kernels (grid over the batch; TPU grids run sequentially, so the
-# channel-sum outputs accumulate across grid steps)
-# ---------------------------------------------------------------------------
-
-
-def _fwd_kernel(x_ref, a_ref, b_ref, out_ref):
-    x = x_ref[0]
-    y = x * a_ref[0] + b_ref[0]
-    z = jnp.maximum(y, jnp.zeros((), y.dtype))
-    views = _pool_views(_pad_neg_inf(z))
-    m = views[0]
-    for k in range(1, 9):
-        m = jnp.maximum(m, views[k])
-    out_ref[0] = m
-
-
 def _recompute_dy(x, g, a, b):
-    """Shared bwd recompute: relu mask + pool argmax → dy (pre-pool grad)."""
+    """Functional spec of the shared backward recompute."""
     y = x * a + b
     z = jnp.maximum(y, jnp.zeros((), y.dtype))
     _, arg = _max_and_arg(_pool_views(_pad_neg_inf(z)))
@@ -152,30 +153,141 @@ def _recompute_dy(x, g, a, b):
     return jnp.where(y > 0, dz, jnp.zeros_like(dz))
 
 
-def _bwd_sums_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, rstd_ref,
-                     sb_ref, sg_ref):
+# ---------------------------------------------------------------------------
+# kernel building blocks (fused-lane layout: per-image (H, WO, 2C))
+# ---------------------------------------------------------------------------
+
+
+def _shift_w(a, delta):
+    """a[:, j+delta, :] with zero fill, delta ∈ {−1, +1}.
+
+    Sublane-dim shift as roll + iota mask (Mosaic lowers pltpu.roll
+    natively for 32-bit data; pad+slice on the sublane dim does not
+    lower, and bf16 rotate is unimplemented — callers pass f32)."""
+    wo = a.shape[1]
+    rolled = pltpu.roll(a, shift=(-delta) % wo, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    keep = col > 0 if delta == -1 else col < wo - 1
+    return jnp.where(keep, rolled, jnp.zeros_like(rolled))
+
+
+def _h_window(p, dh):
+    """H-direction window row for output row i: padded row 2i+dh, where
+    p is (H+2, WO, C) with one zero row on top and one below. Built with
+    leading-dim reshapes only (H is untiled)."""
+    hp = p.shape[0]  # H + 2, even
+    ho = (hp - 2) // 2
+    if dh < 2:
+        return p[: hp - 2].reshape(ho, 2, p.shape[1], p.shape[2])[:, dh]
+    return p[2:].reshape(ho, 2, p.shape[1], p.shape[2])[:, 0]
+
+
+def _interleave_h(even, odd):
+    """(HO, WO, C) × 2 → (H, WO, C), rows alternating — leading dims."""
+    ho, wo, c = even.shape
+    return jnp.stack([even, odd], axis=1).reshape(2 * ho, wo, c)
+
+
+def _cmp_gt(a, b):
+    """a > b (callers keep kernel values in f32 — Mosaic's VPU
+    comparison rejects bf16, and mixed 16/32-bit tiles force costly
+    repack relayouts)."""
+    return a > b
+
+
+def _w_max_arg(z2, c):
+    """Factorized W stage: per input row h and output col j, max and
+    first-wins argmax over the W window {B[j−1] (dw=0), A[j] (dw=1),
+    B[j] (dw=2)}. Factorized (argh ∘ argw) first-wins equals the
+    row-major (dh, dw) tie order of the spec: argh picks the smallest
+    tied dh, then argw the smallest tied dw within that row."""
+    a_half = z2[:, :, :c]
+    b_half = z2[:, :, c:]
+    wm = _shift_w(b_half, -1)  # dw=0 first
+    argw = jnp.zeros(wm.shape, jnp.int32)
+    take = _cmp_gt(a_half, wm)
+    wm = jnp.where(take, a_half, wm)
+    argw = jnp.where(take, 1, argw)
+    take = _cmp_gt(b_half, wm)
+    wm = jnp.where(take, b_half, wm)
+    argw = jnp.where(take, 2, argw)
+    return wm, argw
+
+
+def _h_rows(wm):
+    """The 3 H-window row views of padded wm, dh = 0, 1, 2."""
+    p = jnp.pad(wm, ((1, 1), (0, 0), (0, 0)))
+    return [_h_window(p, dh) for dh in range(3)]
+
+
+def _fwd_kernel(x2_ref, a2_ref, b2_ref, out_ref):
+    """Forward: value-based (no VMEM scratch). Mosaic keeps the
+    intermediate maps in registers; ref-based scratch forced VMEM
+    round-trips that made the first version ~4x slower."""
+    c = out_ref.shape[-1]
+    y = x2_ref[0].astype(jnp.float32) * a2_ref[0] + b2_ref[0]
+    z2 = jnp.maximum(y, 0.0)
+    wm, _ = _w_max_arg(z2, c)
+    r0, r1, r2 = _h_rows(wm)
+    out_ref[0] = jnp.maximum(jnp.maximum(r0, r1), r2).astype(out_ref.dtype)
+
+
+def _bwd_kernel(x2_ref, g_ref, a2_ref, b2_ref, mean2_ref, rstd2_ref,
+                dy_ref, sb_ref, sg_ref):
+    """One sweep: recompute the factorized argmax, route g back to input
+    positions (dy, materialized in the fused layout for the XLA dx
+    pass), and accumulate the per-channel BN sums across the grid.
+    Value-based for the same register-residency reason as the forward.
+
+    All internal compute is f32: (8,128) tiles match the int32 argmax
+    masks (no bf16<->32-bit repack relayouts), and the affine matches
+    torch's fp32 BatchNorm arithmetic.
+    """
+    c = g_ref.shape[-1]
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         sb_ref[:] = jnp.zeros_like(sb_ref)
         sg_ref[:] = jnp.zeros_like(sg_ref)
 
-    dy = _recompute_dy(x_ref[0], g_ref[0], a_ref[0], b_ref[0]).astype(
-        jnp.float32
-    )
-    xhat = (x_ref[0].astype(jnp.float32) - mean_ref[0]) * rstd_ref[0]
-    sb_ref[0] += jnp.sum(dy, axis=(0, 1))
-    sg_ref[0] += jnp.sum(dy * xhat, axis=(0, 1))
+    y = x2_ref[0].astype(jnp.float32) * a2_ref[0] + b2_ref[0]
+    z2 = jnp.maximum(y, 0.0)
+    wm, argw = _w_max_arg(z2, c)
 
+    # H stage: first-wins argmax over the 3 window rows
+    r0, r1, r2 = _h_rows(wm)
+    m = r0
+    argh = jnp.zeros(m.shape, jnp.int32)
+    take = r1 > m
+    m = jnp.where(take, r1, m)
+    argh = jnp.where(take, 1, argh)
+    take = r2 > m
+    argh = jnp.where(take, 2, argh)
 
-def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, mean_ref, rstd_ref,
-                   k1_ref, k2_ref, k3_ref, dx_ref):
-    dy = _recompute_dy(x_ref[0], g_ref[0], a_ref[0], b_ref[0]).astype(
-        jnp.float32
+    # scatter through H: row h receives g[i] iff h = 2i−1+argh[i]
+    g = g_ref[0].astype(jnp.float32)
+    zero = jnp.zeros_like(g)
+    even_rows = jnp.where(argh == 1, g, zero)
+    odd_rows = _shift_up_3d(jnp.where(argh == 0, g, zero)) + jnp.where(
+        argh == 2, g, zero
     )
-    xf = x_ref[0].astype(jnp.float32)
-    xhat = (xf - mean_ref[0]) * rstd_ref[0]
-    dx = k1_ref[0] * dy - k2_ref[0] - k3_ref[0] * xhat
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dwm = _interleave_h(even_rows, odd_rows)  # (H, WO, C)
+
+    # scatter through W: even half ← dw=1; odd half ← own dw=2 plus
+    # col j+1's dw=0
+    zero = jnp.zeros_like(dwm)
+    dz_a = jnp.where(argw == 1, dwm, zero)
+    dz_b = jnp.where(argw == 2, dwm, zero) + _shift_w(
+        jnp.where(argw == 0, dwm, zero), +1
+    )
+    dz2 = jnp.concatenate([dz_a, dz_b], axis=-1)
+    # relu mask: z2 > 0 ⇔ y > 0
+    dyf = jnp.where(z2 > 0.0, dz2, jnp.zeros_like(dz2))
+    dy_ref[0] = dyf.astype(dy_ref.dtype)
+
+    xhat = (x2_ref[0].astype(jnp.float32) - mean2_ref[0]) * rstd2_ref[0]
+    sb_ref[0] += jnp.sum(dyf, axis=(0, 1))
+    sg_ref[0] += jnp.sum(dyf * xhat, axis=(0, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -193,78 +305,61 @@ def _img_spec(h, w, c):
     )
 
 
+def _dup(v):
+    """Per-channel (C,) vector → (1, 2C) for the fused-lane layout."""
+    return jnp.concatenate([v, v]).reshape(1, -1)
+
+
 def _run_fwd(x, a, b, interpret):
     n, h, w, c = x.shape
+    x2 = x.reshape(n, h, w // 2, 2 * c)  # contiguous → free in XLA
     return pl.pallas_call(
         _fwd_kernel,
         grid=(n,),
-        in_specs=[_img_spec(h, w, c), _vec_spec(c), _vec_spec(c)],
+        in_specs=[
+            _img_spec(h, w // 2, 2 * c),
+            _vec_spec(2 * c),
+            _vec_spec(2 * c),
+        ],
         out_specs=_img_spec(h // 2, w // 2, c),
         out_shape=jax.ShapeDtypeStruct((n, h // 2, w // 2, c), x.dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(x, a.reshape(1, c), b.reshape(1, c))
+    )(x2, _dup(a), _dup(b))
 
 
-def _run_bwd_sums(x, g, a, b, mean, rstd, interpret):
+def _run_bwd(x, g, a, b, mean, rstd, interpret):
+    """Single backward sweep: returns (dy fused-layout bf16, sb, sg)."""
     n, h, w, c = x.shape
-    sb, sg = pl.pallas_call(
-        _bwd_sums_kernel,
+    x2 = x.reshape(n, h, w // 2, 2 * c)
+    dy2, sb2, sg2 = pl.pallas_call(
+        _bwd_kernel,
         grid=(n,),
         in_specs=[
-            _img_spec(h, w, c),
+            _img_spec(h, w // 2, 2 * c),
             _img_spec(h // 2, w // 2, c),
-            _vec_spec(c),
-            _vec_spec(c),
-            _vec_spec(c),
-            _vec_spec(c),
+            _vec_spec(2 * c),
+            _vec_spec(2 * c),
+            _vec_spec(2 * c),
+            _vec_spec(2 * c),
         ],
-        out_specs=(_vec_spec(c), _vec_spec(c)),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        out_specs=(
+            _img_spec(h, w // 2, 2 * c),
+            _vec_spec(2 * c),
+            _vec_spec(2 * c),
         ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, w // 2, 2 * c), g.dtype),
+            jax.ShapeDtypeStruct((1, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * c), jnp.float32),
+        ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(
-        x,
-        g,
-        a.reshape(1, c),
-        b.reshape(1, c),
-        mean.reshape(1, c),
-        rstd.reshape(1, c),
-    )
-    return sb[0], sg[0]
-
-
-def _run_bwd_dx(x, g, a, b, mean, rstd, k1, k2, k3, interpret):
-    n, h, w, c = x.shape
-    return pl.pallas_call(
-        _bwd_dx_kernel,
-        grid=(n,),
-        in_specs=[
-            _img_spec(h, w, c),
-            _img_spec(h // 2, w // 2, c),
-            _vec_spec(c),
-            _vec_spec(c),
-            _vec_spec(c),
-            _vec_spec(c),
-            _vec_spec(c),
-            _vec_spec(c),
-            _vec_spec(c),
-        ],
-        out_specs=_img_spec(h, w, c),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        interpret=interpret,
-    )(
-        x,
-        g,
-        a.reshape(1, c),
-        b.reshape(1, c),
-        mean.reshape(1, c),
-        rstd.reshape(1, c),
-        k1.reshape(1, c),
-        k2.reshape(1, c),
-        k3.reshape(1, c),
-    )
+    )(x2, g, _dup(a), _dup(b), _dup(mean), _dup(rstd))
+    # the two lane halves hold the even-w / odd-w partial sums
+    sb = sb2[0, :c] + sb2[0, c:]
+    sg = sg2[0, :c] + sg2[0, c:]
+    return dy2.reshape(n, h, w, c), sb, sg
 
 
 # ---------------------------------------------------------------------------
@@ -314,12 +409,14 @@ def _vjp_bwd(eps, interpret, res, cots):
     g = cots[0]  # mean/var cotangents are running-stat plumbing: ignored
     x, scale, mean, rstd, a, b = res
     g = g.astype(x.dtype)
-    sb, sg = _run_bwd_sums(x, g, a, b, mean, rstd, interpret)
+    dy, sb, sg = _run_bwd(x, g, a, b, mean, rstd, interpret)
     m_count = x.shape[0] * x.shape[1] * x.shape[2]
     k1 = scale * rstd
     k2 = k1 * sb / m_count
     k3 = k1 * sg / m_count
-    dx = _run_bwd_dx(x, g, a, b, mean, rstd, k1, k2, k3, interpret)
+    # final dx is pure elementwise over (dy, x): one fused XLA pass
+    xhat = (x.astype(jnp.float32) - mean) * rstd
+    dx = (k1 * dy.astype(jnp.float32) - k2 - k3 * xhat).astype(x.dtype)
     return dx, sg, sb
 
 

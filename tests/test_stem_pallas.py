@@ -55,12 +55,15 @@ def test_grads_match_reference_autodiff():
 
 
 def test_bfloat16_forward():
+    """bf16 inputs: the kernel applies the affine in f32 internally
+    (torch fp32-BN parity; tighter than the bf16-elementwise oracle), so
+    outputs may differ from the bf16 composition by 1 bf16 ulp."""
     x, scale, bias = _data(2, dtype=jnp.bfloat16)
     out, _, _ = bn_relu_pool_train(x, scale, bias, 1e-5, True)
     ref, _, _ = bn_relu_pool_reference(x, scale, bias)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(
-        out.astype(np.float32), ref.astype(np.float32), atol=1e-6
+        out.astype(np.float32), ref.astype(np.float32), rtol=1e-2, atol=1e-2
     )
 
 

@@ -126,3 +126,35 @@ def test_resnet_fused_stem_equivalence():
         lambda a, b: np.testing.assert_allclose(a, b, atol=3e-3, rtol=1e-3),
         g0, g1,
     )
+
+
+def test_stem_module_eval_path_matches_fastbatchnorm():
+    """StemBNReLUPool(use_running_average=True) must equal
+    FastBatchNorm(eval) -> relu -> max_pool on the same running stats."""
+    from flax import linen as nn
+
+    from cl_ica_tpu.models.layers import FastBatchNorm, StemBNReLUPool
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+
+    fused = StemBNReLUPool(use_running_average=True)
+    vf = fused.init(jax.random.PRNGKey(0), x)
+    # non-trivial running stats + affine
+    stats = {
+        "mean": jnp.asarray(rng.normal(size=(4,)), jnp.float32),
+        "var": jnp.asarray(rng.uniform(0.5, 2.0, (4,)), jnp.float32),
+    }
+    params = {
+        "scale": jnp.asarray(1 + 0.3 * rng.normal(size=(4,)), jnp.float32),
+        "bias": jnp.asarray(0.2 * rng.normal(size=(4,)), jnp.float32),
+    }
+    out = fused.apply({"params": params, "batch_stats": stats}, x)
+
+    ref_bn = FastBatchNorm(use_running_average=True)
+    vb = ref_bn.init(jax.random.PRNGKey(0), x)
+    y = ref_bn.apply({"params": params, "batch_stats": stats}, x)
+    ref = nn.max_pool(
+        nn.relu(y), (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-6)

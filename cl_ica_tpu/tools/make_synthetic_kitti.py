@@ -1,0 +1,100 @@
+"""Synthetic KittiMasks-format corpus generator.
+
+The real kitti_peds_v2.pickle (Zenodo 3931823; loaded by
+data/kitti.KittiMasks, reference kitti_masks/dataset.py:27-57) is an
+external download. This tool writes a pickle with the SAME contract —
+``{"pedestrians": [seq (T, 64, 64) {0,1} masks],
+"pedestrians_latents": [seq (T, 3) float]}`` — of a square mask whose
+center performs a Laplace random walk and whose side length drifts, so
+the three ground-truth latents mirror the real data's
+(center-of-mass-vertical, center-of-mass-horizontal, area) and the
+frame-to-frame transitions are Laplace-distributed (the anisotropic
+conditional the KITTI experiment's p=1 loss targets; reference
+main_kitti.py:54-58 models exactly this with --data-distribution
+laplace). Latents are computed FROM the rendered masks, like the real
+corpus, so mask→latent consistency is exact.
+
+Used for the end-to-end quality runs in EXPERIMENTS.md ("KITTI pipeline
+end-to-end"); the real corpus drops in by replacing the pickle.
+
+Usage:
+  python -m cl_ica_tpu.tools.make_synthetic_kitti --output-dir DIR \
+      [--n-sequences 150] [--frames 30] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def render_square(h: int, w: int, cy: float, cx: float, side: float):
+    """Axis-aligned square mask centered at (cy, cx)."""
+    y = np.arange(h, dtype=np.float32)[:, None]
+    x = np.arange(w, dtype=np.float32)[None, :]
+    half = side / 2.0
+    return (
+        (np.abs(y - cy) <= half) & (np.abs(x - cx) <= half)
+    ).astype(np.uint8)
+
+
+def mask_latents(mask: np.ndarray) -> np.ndarray:
+    """(com-vertical, com-horizontal, area) from a binary mask — the
+    latent definition of the real corpus."""
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.zeros(3, np.float32)
+    return np.array(
+        [ys.mean(), xs.mean(), float(len(ys))], dtype=np.float32
+    )
+
+
+def generate(n_sequences: int, frames: int, size: int, seed: int,
+             motion_scale: float = 2.0, side_scale: float = 0.8):
+    rng = np.random.default_rng(seed)
+    seqs, lats = [], []
+    for _ in range(n_sequences):
+        cy = rng.uniform(size * 0.25, size * 0.75)
+        cx = rng.uniform(size * 0.25, size * 0.75)
+        side = rng.uniform(8.0, 22.0)
+        frames_i, lats_i = [], []
+        for _ in range(frames):
+            mask = render_square(size, size, cy, cx, side)
+            frames_i.append(mask)
+            lats_i.append(mask_latents(mask))
+            # Laplace transitions, clipped to keep the square in frame
+            cy = np.clip(cy + rng.laplace(0.0, motion_scale),
+                         side / 2 + 1, size - side / 2 - 1)
+            cx = np.clip(cx + rng.laplace(0.0, motion_scale),
+                         side / 2 + 1, size - side / 2 - 1)
+            side = np.clip(side + rng.laplace(0.0, side_scale), 6.0, 26.0)
+        seqs.append(np.stack(frames_i))
+        lats.append(np.stack(lats_i))
+    return {"pedestrians": seqs, "pedestrians_latents": lats}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--output-dir", required=True, type=str)
+    parser.add_argument("--n-sequences", default=150, type=int)
+    parser.add_argument("--frames", default=30, type=int)
+    parser.add_argument("--image-size", default=64, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    args = parser.parse_args(argv)
+
+    data = generate(args.n_sequences, args.frames, args.image_size,
+                    args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+    path = os.path.join(args.output_dir, "kitti_peds_v2.pickle")
+    with open(path, "wb") as fh:
+        pickle.dump(data, fh)
+    n_pairs = sum(len(s) - 1 for s in data["pedestrians"])
+    print(f"wrote {path}: {args.n_sequences} sequences, "
+          f"{n_pairs} trainable pairs")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,11 +40,14 @@ def main():
 
     # CL_ICA_BENCH_STEM=fused selects the fused Pallas BN+ReLU+maxpool
     # stem (ops/stem_pallas.py; same math as norm_kind='fast').
+    # Default 'minres' (ops/bn_minres.py): torch-parity BN semantics
+    # with a minimal-residual custom VJP — byte-equal to flax BN on
+    # this net (EXPERIMENTS r3 ledger: the step is at the HBM floor).
     fused = os.environ.get("CL_ICA_BENCH_STEM", "") == "fused"
     model = ResNet18(
         num_classes=n_latents,
         dtype=jnp.bfloat16,
-        norm_kind="fast" if fused else "batch",
+        norm_kind="fast" if fused else "minres",
         fused_stem_pool=fused,
     )
     variables = jax.jit(model.init)(

@@ -60,6 +60,24 @@ class SoftclipLayer(nn.Module):
         return nn.sigmoid(x) * bound[None, :]
 
 
+class PositionalEncoding(nn.Module):
+    """Exact port of the reference's PositionalEncoding (layers.py:10-27,
+    unused by any driver — debug tier): concatenate two normalized
+    meshgrid coordinate channels to NCHW input, channel-first like the
+    torch original. For the TPU-native NHWC data path use
+    PositionalEncoding2D below."""
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[-2], x.shape[-1]
+        rows = jnp.arange(h, dtype=x.dtype)[:, None] * jnp.ones((1, w), x.dtype)
+        cols = jnp.ones((h, 1), x.dtype) * jnp.arange(w, dtype=x.dtype)[None, :]
+        pos = jnp.stack([rows, cols], axis=0)
+        pos = pos / (jnp.max(pos) + 1e-12)
+        pos = jnp.broadcast_to(pos[None], (x.shape[0], 2, h, w))
+        return jnp.concatenate([pos, x], axis=1)
+
+
 class PositionalEncoding2D(nn.Module):
     """Concatenate normalized (row, col) coordinate channels to NHWC images
     (layers.py:10-27; reference is NCHW — here NHWC, TPU-native layout)."""
@@ -134,6 +152,123 @@ class FastBatchNorm(nn.Module):
         return x * a + b
 
 
+class MinResBN(nn.Module):
+    """BatchNorm(+residual-add)(+ReLU) with a minimal-residual custom VJP.
+
+    Same training math / running-stat semantics as FastBatchNorm (torch
+    BatchNorm2d parity: fast variance, fp32 stat accumulation, unbiased
+    running var), but in training mode the fused ``ops.bn_minres``
+    custom-VJP functions save only (x[, res], scale, bias, mean, rstd)
+    for backward and recompute the relu mask on the fly — removing the
+    pre-activation tensor XLA would otherwise materialize per BN+ReLU
+    (see ops/bn_minres.py for the byte accounting). Pure XLA: no custom
+    call, no layout pinning.
+
+    ``act='relu'`` fuses the following ReLU; ``act='none'`` is a plain
+    BN (projection shortcuts). Call with ``res=...`` to fuse the ResNet
+    block's residual add before the ReLU. Eval mode is the plain
+    composition. The batch mean/var used for running statistics are
+    non-differentiable (stop_gradient — see bn_minres docstring).
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    act: str = "relu"
+    scale_init: object = nn.initializers.ones
+    bias_init: object = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x, res=None):
+        import jax
+
+        from ..ops import bn_minres
+
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", self.bias_init, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average or self.is_initializing():
+            mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            a = inv.astype(x.dtype)
+            b = (bias - mean * inv).astype(x.dtype)
+            y = x * a + b
+            if res is not None:
+                y = y + res
+            return nn.relu(y) if self.act == "relu" else y
+        if res is not None:
+            assert self.act == "relu", "residual add requires act='relu'"
+            y, mean, var = bn_minres.bn_add_relu(
+                x, res, scale, bias, self.epsilon
+            )
+        elif self.act == "relu":
+            y, mean, var = bn_minres.bn_relu(x, scale, bias, self.epsilon)
+        else:
+            y, mean, var = bn_minres.bn_only(x, scale, bias, self.epsilon)
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
+        m = self.momentum
+        n = x.size / c
+        ra_mean.value = m * ra_mean.value + (1 - m) * mean
+        # running var uses the unbiased estimate (torch parity)
+        ra_var.value = m * ra_var.value + (1 - m) * var * (n / max(n - 1, 1))
+        return y
+
+
+class MinResBNPool(nn.Module):
+    """BN→ReLU→3×3/2-maxpool stem tail via the minimal-residual pure-XLA
+    custom VJP (ops/pool_minres.py — argmax-code pool, no z
+    materialization, no SelectAndScatter). Same params/stat semantics as
+    FastBatchNorm/MinResBN; eval mode is the plain composition. The
+    batch mean/var feeding the running stats are non-differentiable."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: object = nn.initializers.ones
+    bias_init: object = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        from ..ops.pool_minres import bn_relu_pool
+
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", self.bias_init, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average or self.is_initializing():
+            mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            a = inv.astype(x.dtype)
+            b = (bias - mean * inv).astype(x.dtype)
+            z = nn.relu(x * a + b)
+            return nn.max_pool(
+                z, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
+        pooled, mean, var = bn_relu_pool(x, scale, bias, self.epsilon)
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
+        m = self.momentum
+        n = x.size / c
+        ra_mean.value = m * ra_mean.value + (1 - m) * mean
+        # running var uses the unbiased estimate (torch parity)
+        ra_var.value = m * ra_var.value + (1 - m) * var * (n / max(n - 1, 1))
+        return pooled
+
+
 class StemBNReLUPool(nn.Module):
     """Fused BatchNorm→ReLU→3×3/2-maxpool (the ResNet stem tail).
 
@@ -175,7 +310,9 @@ class StemBNReLUPool(nn.Module):
             return nn.max_pool(
                 z, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
             )
-        interpret = jax.default_backend() == "cpu"
+        # compiled pltpu kernels only lower on TPU; every other backend
+        # (cpu, gpu, ...) runs the interpreter (ADVICE r2)
+        interpret = jax.default_backend() != "tpu"
         pooled, mean, var = bn_relu_pool_train(
             x, scale, bias, self.epsilon, interpret
         )

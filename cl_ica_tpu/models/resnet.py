@@ -28,11 +28,24 @@ class BasicBlock(nn.Module):
     strides: Tuple[int, int]
     conv: ModuleDef
     norm: ModuleDef
+    # fused_bn: norm is a MinResBN ModuleDef — BN+ReLU and the block
+    # tail's BN+add+ReLU run as single minimal-residual custom-VJP ops
+    # (ops/bn_minres.py) instead of separate norm/relu/add HLOs.
+    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = self.conv(self.filters, (3, 3), self.strides)(x)
+        if self.fused_bn:
+            y = self.norm()(y)  # MinResBN: BN+ReLU fused
+            y = self.conv(self.filters, (3, 3))(y)
+            if residual.shape[-1] != self.filters or self.strides != (1, 1):
+                residual = self.conv(
+                    self.filters, (1, 1), self.strides, name="conv_proj"
+                )(residual)
+                residual = self.norm(act="none", name="norm_proj")(residual)
+            return self.norm(scale_init=nn.initializers.zeros)(y, res=residual)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters, (3, 3))(y)
@@ -50,11 +63,23 @@ class Bottleneck(nn.Module):
     strides: Tuple[int, int]
     conv: ModuleDef
     norm: ModuleDef
+    fused_bn: bool = False  # see BasicBlock.fused_bn
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = self.conv(self.filters, (1, 1))(x)
+        if self.fused_bn:
+            y = self.norm()(y)
+            y = self.conv(self.filters, (3, 3), self.strides)(y)
+            y = self.norm()(y)
+            y = self.conv(self.filters * 4, (1, 1))(y)
+            if residual.shape[-1] != self.filters * 4 or self.strides != (1, 1):
+                residual = self.conv(
+                    self.filters * 4, (1, 1), self.strides, name="conv_proj"
+                )(residual)
+                residual = self.norm(act="none", name="norm_proj")(residual)
+            return self.norm(scale_init=nn.initializers.zeros)(y, res=residual)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters, (3, 3), self.strides)(y)
@@ -83,10 +108,14 @@ class ResNet(nn.Module):
     num_filters: int = 64
     dtype: Any = jnp.float32  # compute dtype; bfloat16 for MXU throughput
     stem: str = "conv7"  # 'conv7' (torchvision parity) | 's2d' (MXU-friendly)
-    # 'batch': flax nn.BatchNorm (fp32 residuals under autodiff)
-    # 'fast':  FastBatchNorm — same math, bf16 residuals (the HBM-traffic
-    #          fix for the stem/stage1 bottleneck; see layers.FastBatchNorm)
-    # 'none':  no normalization (diagnostic)
+    # 'batch':  flax nn.BatchNorm (fp32 residuals under autodiff)
+    # 'fast':   FastBatchNorm — same math, bf16 residuals (the HBM-traffic
+    #           fix for the stem/stage1 bottleneck; see layers.FastBatchNorm)
+    # 'minres': MinResBN — same math as 'fast', plus a minimal-residual
+    #           custom VJP fusing BN+ReLU(+residual add): drops the
+    #           pre-activation tensor from every block's residual set
+    #           (ops/bn_minres.py — the round-3 HBM byte-floor attack)
+    # 'none':   no normalization (diagnostic)
     norm_kind: str = "batch"
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM traffic
     # Fuse the stem's BN+ReLU+maxpool into one Pallas kernel with a
@@ -94,6 +123,10 @@ class ResNet(nn.Module):
     # post-BN activation and the backward SelectAndScatter from HBM.
     # Same math/params as norm_kind='fast' (checkpoints interchange).
     fused_stem_pool: bool = False
+    # 'xla' (default): BN+ReLU custom VJP + XLA maxpool/SelectAndScatter
+    # 'argmax' (minres only): argmax-code pool VJP (ops/pool_minres.py)
+    #          — measured NEGATIVE on v5e, kept for the record
+    stem_pool: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -113,6 +146,15 @@ class ResNet(nn.Module):
 
             norm = partial(
                 FastBatchNorm,
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+            )
+        elif self.norm_kind == "minres":
+            from .layers import MinResBN
+
+            norm = partial(
+                MinResBN,
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
@@ -171,6 +213,14 @@ class ResNet(nn.Module):
             x = conv(self.num_filters, (7, 7), (2, 2),
                      padding=[(3, 3), (3, 3)], name="conv_init")(x)
         if self.fused_stem_pool:
+            # the fused stem ALWAYS batch-normalizes; combining it with
+            # the no-norm diagnostic would silently diverge from the
+            # unfused path (ADVICE r2)
+            if self.norm_kind == "none":
+                raise ValueError(
+                    "fused_stem_pool=True applies BatchNorm in the stem "
+                    "and cannot be combined with norm_kind='none'"
+                )
             from .layers import StemBNReLUPool
 
             x = StemBNReLUPool(
@@ -179,6 +229,27 @@ class ResNet(nn.Module):
                 epsilon=1e-5,
                 name="bn_init",
             )(x)
+        elif self.norm_kind == "minres" and self.stem_pool == "argmax":
+            from .layers import MinResBNPool
+
+            # BN+ReLU+maxpool as ONE custom VJP saving an int8 argmax
+            # code instead of z (ops/pool_minres.py). MEASURED NEGATIVE
+            # on v5e (EXPERIMENTS r3): XLA materializes reduce-window
+            # operands (the int32 iota costs 3.3 GB) and pads don't
+            # fuse, so HLO bytes REGRESS 63→92 GB. Kept opt-in for the
+            # record; default stem_pool='xla' below is at the byte
+            # floor the SelectAndScatter pipeline allows.
+            x = MinResBNPool(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                name="bn_init",
+            )(x)
+        elif self.norm_kind == "minres":
+            x = norm(name="bn_init")(x)  # MinResBN: BN+ReLU in one VJP
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
         else:
             x = norm(name="bn_init")(x)
             x = nn.relu(x)
@@ -196,6 +267,7 @@ class ResNet(nn.Module):
                     strides=strides,
                     conv=conv,
                     norm=norm,
+                    fused_bn=self.norm_kind == "minres",
                 )(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = nn.Dense(self.num_classes, dtype=self.dtype)(x)

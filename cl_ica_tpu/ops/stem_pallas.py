@@ -381,14 +381,27 @@ def bn_relu_pool_train(x, scale, bias, eps=1e-5, interpret=False):
       (pooled, mean, var): pooled (N, H/2, W/2, C) in x.dtype; mean/var
       the fp32 per-channel *batch* statistics (biased variance — what
       normalization used; callers handle running-stat updates, applying
-      the unbiased correction there exactly like FastBatchNorm). The
-      stats outputs carry no gradient (they feed running-stat buffers,
-      which are not differentiated — torch parity).
+      the unbiased correction there exactly like FastBatchNorm).
+
+    .. warning::
+       The ``mean``/``var`` outputs are NON-DIFFERENTIABLE: the custom
+       VJP silently discards their cotangents (they exist to feed
+       running-statistic buffers, which torch does not differentiate
+       either). Do NOT differentiate a loss through them — e.g. a
+       statistic-matching regularizer built on these outputs would
+       receive silently-zero gradients. Pinned by
+       tests/test_stem_pallas.py::test_stats_outputs_carry_no_gradient.
     """
     return _fwd_impl(x, scale, bias, eps, interpret)[0]
 
 
 def _fwd_impl(x, scale, bias, eps, interpret):
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        raise ValueError(
+            "bn_relu_pool_train requires even H and W (3x3/2 pool with "
+            f"padding 1 over an even grid); got H={x.shape[1]}, "
+            f"W={x.shape[2]}"
+        )
     axes = (0, 1, 2)
     mean = jnp.mean(x, axes, dtype=jnp.float32)
     mean2 = jnp.mean(jnp.square(x), axes, dtype=jnp.float32)

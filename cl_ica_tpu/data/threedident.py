@@ -173,8 +173,9 @@ class ThreeDIdentBatchSampler:
         # image gather AND normalization then all fuse into one jitted
         # call with no host data path (like the KITTI device sampler).
         # For sets beyond one chip's HBM (the real 250k×224² = 37 GB),
-        # shard the store over a mesh's data axis instead (round-robin
-        # rows + a gather collective) — planned, not yet implemented.
+        # shard the store over a mesh's data axis instead: see
+        # parallel/sharded.py (make_sharded_store, store_gather) wired
+        # through `main_3dident --mesh`.
         self.device_store = None
         if load_images and self.images is not None and self.images._packed is not None:
             packed = self.images._packed

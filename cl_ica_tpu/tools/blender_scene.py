@@ -319,6 +319,55 @@ def build_scene(
     return plan
 
 
+def segmentation_plan(n_objects: int) -> Dict:
+    """Pure description of the segmentation-material assignment
+    (generate_clevr_dataset_images.py:176-186 + render_utils.py:221-242):
+    one material per segmentation index, ground takes index 0, object i
+    takes index i+1; the per-index colors come from the NodeGroup's
+    ColorRamp elements."""
+    return {
+        "n_materials": n_objects + 1,
+        "ground_index": 0,
+        "object_indices": {f"Object_{i}": i + 1 for i in range(n_objects)},
+        "group_inputs": [
+            # (input slot 0 = segmentation index, slot 1 = n_objects)
+            {"index": i, "n_objects": n_objects}
+            for i in range(n_objects + 1)
+        ],
+    }
+
+
+def build_segmentation_materials(assets_dir: str, n_objects: int):
+    """Load data/node_groups/NodeGroup.blend and build the per-index
+    segmentation materials + colors
+    (generate_clevr_dataset_images.py:86-95,176-186): the blendfile
+    holds a material whose "Group" node has inputs (segmentation index,
+    object count) and a ColorRamp node whose elements define the flat
+    per-index colors. Returns (materials, colors) with materials[0] for
+    the ground and materials[i+1] for Object_i."""
+    import bpy
+
+    segm_node_path = os.path.join(
+        assets_dir, "data", "node_groups", "NodeGroup.blend"
+    )
+    with bpy.data.libraries.load(segm_node_path) as (data_from, data_to):
+        data_to.objects = data_from.objects
+        data_to.materials = data_from.materials
+        data_to.node_groups = data_from.node_groups
+    segm_node_mat = data_to.materials[0]
+    ramp_elems = data_to.node_groups[0].nodes["ColorRamp"].color_ramp.elements
+
+    plan = segmentation_plan(n_objects)
+    group = segm_node_mat.node_tree.nodes["Group"]
+    materials, colors = [], []
+    for entry in plan["group_inputs"]:
+        group.inputs[1].default_value = entry["n_objects"]
+        group.inputs[0].default_value = entry["index"]
+        materials.append(segm_node_mat.copy())
+        colors.append(list(ramp_elems[entry["index"]].color))
+    return materials, colors
+
+
 def render_segmentation_pass(object_names: List[str], segm_materials,
                              render_filepath: str) -> str:
     """Swap every object's material for its segmentation material, render

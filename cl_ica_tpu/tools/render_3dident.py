@@ -100,6 +100,23 @@ def bpy_available() -> bool:
         return False
 
 
+def resolve_object_name(names, index: int) -> str:
+    """First scene-object name ending in ``Object_{index}`` — the
+    reference's lookup (generate_clevr_dataset_images.py:249-253), which
+    must find both a pre-built scene's literal ``Object_0`` and the
+    appended-asset name ``ShapeTeapot_0_Object_0`` produced by
+    blender_scene.append_shape. Spotlights (``Spotlight_Object_i``) also
+    end in the suffix; the reference dodges them only because bpy
+    iterates alphabetically and every shape name starts with "Shape" —
+    here they are excluded explicitly so the contract is robust to any
+    shape name."""
+    suffix = f"Object_{index}"
+    for name in names:
+        if name.endswith(suffix) and "Spotlight" not in name:
+            return name
+    raise KeyError(f"no scene object matches *{suffix}")
+
+
 def _apply_scene(bpy, params: SceneParams, object_name: str, spot_name: str,
                  update_lights: bool):
     obj = bpy.data.objects[object_name]
@@ -136,11 +153,16 @@ def render_shard(args):
     os.makedirs(out_dir, exist_ok=True)
     zfill = int(np.ceil(np.log10(n_samples)))
 
+    n_objects = (latents.shape[1] - 1) // 8
+    segm_materials = None
     if args.assets:
         # build the whole scene from the published assets
-        from .blender_scene import build_scene, cycles_settings
+        from .blender_scene import (
+            build_scene,
+            build_segmentation_materials,
+            cycles_settings,
+        )
 
-        n_objects = (latents.shape[1] - 1) // 8
         build_scene(
             args.assets,
             shape_names=(args.shape_names or ["Teapot"] * n_objects),
@@ -153,6 +175,15 @@ def render_shard(args):
                 use_gpu=args.use_gpu,
             ),
         )
+        if args.segmentation:
+            segm_materials, _ = build_segmentation_materials(
+                args.assets, n_objects
+            )
+    elif args.segmentation:
+        raise SystemExit(
+            "--segmentation needs --assets (the segmentation materials "
+            "come from data/node_groups/NodeGroup.blend)"
+        )
 
     scene = bpy.context.scene
     scene.render.engine = "CYCLES"
@@ -160,16 +191,30 @@ def render_shard(args):
     scene.render.resolution_y = RENDER_SIZE
     scene.cycles.samples = RENDER_SAMPLES
 
+    # objects may carry appended-asset names (ShapeTeapot_0_Object_0) or
+    # the pre-built scene's literal names — match by suffix either way
+    all_names = [o.name for o in bpy.data.objects]
+    object_name = resolve_object_name(all_names, 0)
+
     for idx in indices:
         out = os.path.join(out_dir, f"{str(idx).zfill(zfill)}.png")
         if os.path.exists(out):
             print("Skipped file", out)
             continue
         params = latents_to_scene(latents[idx])
-        _apply_scene(bpy, params, "Object_0", "Spotlight_Object_0",
+        _apply_scene(bpy, params, object_name, "Spotlight_Object_0",
                      not args.no_spotlights)
         scene.render.filepath = out
         bpy.ops.render.render(write_still=True)
+        if segm_materials is not None:
+            from .blender_scene import render_segmentation_pass
+
+            render_segmentation_pass([object_name], segm_materials, out)
+        if args.save_scene:
+            # debugging aid (generate_clevr_dataset_images.py:303-308)
+            bpy.ops.wm.save_as_mainfile(
+                filepath=f"scene_{os.path.basename(out)}.blend"
+            )
 
 
 def main(argv=None):
@@ -185,7 +230,13 @@ def main(argv=None):
     parser.add_argument("--use-gpu", action="store_true")
     parser.add_argument("--shape-names", nargs="*", default=None)
     parser.add_argument("--material-names", nargs="*", default=None)
-    parser.add_argument("--save-scene", action="store_true")
+    parser.add_argument("--save-scene", action="store_true",
+                        help="save a debug .blend next to each render "
+                             "(generate_clevr_dataset_images.py:303-308)")
+    parser.add_argument("--segmentation", action="store_true",
+                        help="also render a *_segm.png per sample using "
+                             "the NodeGroup segmentation materials "
+                             "(requires --assets)")
     args = parser.parse_args(argv)
     if not bpy_available():
         raise SystemExit(

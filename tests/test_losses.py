@@ -237,3 +237,28 @@ def test_simclr_fused_matches_default():
     else:
         mb, _, _ = b_(None, None, None, z1, z2, z3)
     np.testing.assert_allclose(float(ma), float(mb), rtol=1e-4)
+
+
+def test_combined_full_width_deviation():
+    """PARITY.md deviation #1: CombinedCLLoss applies member losses to
+    the FULL latent width. The reference builds (loss, 0, -1) chunks
+    (losses.py:154-159), whose z[:, 0:-1] slicing silently drops the
+    last dimension — an apparent bug, unused by any reference driver.
+    Pin our full-width behavior: the combined loss of one member equals
+    that member applied to the unsliced inputs."""
+    import numpy as np
+
+    member = LpSimCLRLoss(p=2.0, tau=1.0, simclr_compatibility_mode=True)
+    combined = CombinedCLLoss(losses=[member])
+    rng = np.random.default_rng(0)
+    z1, z2, z3 = (jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+                  for _ in range(3))
+    tot_c, per_c, _ = combined(z1, z2, z3, z1, z2, z3)
+    tot_m, per_m, _ = member(None, None, None, z1, z2, z3)
+    np.testing.assert_allclose(tot_c, tot_m, rtol=1e-6)
+    np.testing.assert_allclose(per_c, per_m, rtol=1e-6)
+    # and NOT the reference's last-dim-dropped value
+    tot_ref_quirk, _, _ = member(
+        None, None, None, z1[:, :-1], z2[:, :-1], z3[:, :-1]
+    )
+    assert abs(float(tot_c) - float(tot_ref_quirk)) > 1e-6

@@ -140,3 +140,19 @@ def test_permutation_disentanglement_parity(ref_modules):
         z, hz, mode="pearson", solver="munkres", rescaling=True
     )
     np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+
+
+def test_positional_encoding_parity():
+    """models.layers.PositionalEncoding matches the reference's NCHW
+    layers.py:10-27 exactly (debug-tier symbol, unused by drivers)."""
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import layers as ref_layers  # noqa: imported from /root/reference
+    from cl_ica_tpu.models.layers import PositionalEncoding
+
+    x = np.random.default_rng(0).normal(size=(3, 4, 5, 7)).astype(np.float32)
+    ref = ref_layers.PositionalEncoding()(torch.from_numpy(x)).numpy()
+    ours = PositionalEncoding().apply({}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)

@@ -246,10 +246,13 @@ class ThreeDIdentEncoder(nn.Module):
                 "rn18": ResNet18, "rn50": ResNet50,
                 "rn101": ResNet101, "rn151": ResNet152,
             }[self.encoder]
+            # 'minres' = torch-parity BN math (unbiased running var,
+            # fast variance) + minimal-residual custom VJP; byte-equal
+            # or better vs flax nn.BatchNorm (EXPERIMENTS r3 ledger)
             h = backbone(
                 num_classes=n * 10,
                 dtype=self.dtype,
-                norm_kind="fast" if self.fused_stem else "batch",
+                norm_kind="fast" if self.fused_stem else "minres",
                 fused_stem_pool=self.fused_stem,
             )(x, train=train)
             h = nn.leaky_relu(h)
@@ -548,6 +551,10 @@ def main(argv=None):
 
     encode = jax.jit(lambda p, bs, x: apply_model(p, bs, x, False)[0])
 
+    # set by the mesh block below: sharded eval encode over the
+    # mesh-sharded store (no host memmap gather — VERDICT r2 weak #4)
+    mesh_eval = None
+
     def evaluate(eval_perm=True, no_pairs=False):
         """Accumulate n_eval_samples; linear R² (train/test split), MCC,
         per-dim MSE, linear-fit MSE (main_3dident.py:656-748).
@@ -561,11 +568,14 @@ def main(argv=None):
         nonlocal root_key
         for _ in range(args.n_eval_samples // args.batch_size):
             root_key, k = jax.random.split(root_key)
-            z, x, _, _ = make_batch(k)
-            if args.identity_mixing_and_solution:
-                hz = z
+            if mesh_eval is not None:
+                z, hz = mesh_eval(params, batch_stats, k, sharded_store)
             else:
-                hz = encode(params, batch_stats, x)
+                z, x, _, _ = make_batch(k)
+                if args.identity_mixing_and_solution:
+                    hz = z
+                else:
+                    hz = encode(params, batch_stats, x)
             zs.append(np.asarray(z))
             hzs.append(np.asarray(hz))
         if not zs:
@@ -598,6 +608,11 @@ def main(argv=None):
         )
 
         mesh = make_mesh(args.mesh)
+        if args.batch_size % args.mesh:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--mesh {args.mesh} (row-sharded batches)"
+            )
         padded, _ = pad_rows_to_multiple(sampler.images._packed, args.mesh)
         sharded_store = jax.device_put(
             padded, NamedSharding(mesh, P("data"))
@@ -607,14 +622,39 @@ def main(argv=None):
             padded.shape, normalize_3dident,
         )
         root_key, mesh_key = jax.random.split(root_key)
+
+        # sharded eval encode: gather rows from the sharded store with
+        # the uint8 reduce-scatter, run the encoder data-parallel, and
+        # only the (B, n) codes + latents come back to the host — at
+        # 250k renders the old path would stream eval images through
+        # the host memmap every eval window
+        from ..parallel.collective import store_gather_scatter
+
+        _eval_gather = store_gather_scatter(mesh, padded.shape)
+        _dsh = NamedSharding(mesh, P("data"))
+        _rep = NamedSharding(mesh, P())
+
+        def _mesh_eval(p, bs, key, store):
+            idx_z, _, z, _ = sampler._sample(key)
+            x = normalize_3dident(
+                _eval_gather(store, idx_z).astype(jnp.float32)
+            )
+            x = jax.lax.with_sharding_constraint(x, _dsh)
+            return z, apply_model(p, bs, x, False)[0]
+
+        mesh_eval = jax.jit(
+            _mesh_eval,
+            in_shardings=(_rep, _rep, _rep, NamedSharding(mesh, P("data"))),
+            out_shardings=(_rep, _rep),
+        )
         print(f"mesh path: {args.mesh} devices, store {padded.shape} "
-              f"row-sharded", flush=True)
+              f"row-sharded, eval sharded", flush=True)
 
     throughput = Throughput()
     total_loss_values = []
 
     prefetcher = None
-    if (args.mode == "unsupervised" and load_images
+    if (args.mode == "unsupervised" and load_images and mesh_step is None
             and getattr(sampler, "device_store", None) is None):
         from ..data import PrefetchingPairLoader
 

@@ -64,7 +64,19 @@ class Solver:
         self.params = jax.jit(self.net.init)(
             k_init, jnp.zeros((2, 64, 64, self.nc))
         )
-        self.optim = optax.adam(args.lr, b1=args.beta1, b2=args.beta2)
+        # reference: plain Adam (solver.py:44-47). --lr-cosine /
+        # --weight-decay are opt-in mitigations for the late-run norm
+        # drift (EXPERIMENTS r3); defaults reproduce the reference.
+        lr = args.lr
+        if getattr(args, "lr_cosine", False):
+            lr = optax.cosine_decay_schedule(args.lr, self.max_iter)
+        wd = float(getattr(args, "weight_decay", 0.0) or 0.0)
+        if wd > 0.0:
+            self.optim = optax.adamw(
+                lr, b1=args.beta1, b2=args.beta2, weight_decay=wd
+            )
+        else:
+            self.optim = optax.adam(lr, b1=args.beta1, b2=args.beta2)
         self.opt_state = self.optim.init(self.params)
         self.loss = LpSimCLRLoss(p=args.p, tau=1.0, simclr_compatibility_mode=True)
         self.np_rng = np.random.default_rng(args.seed)
@@ -94,13 +106,17 @@ class Solver:
                     z1_rec, z2_rec = z[:pairs], z[pairs:]
                     z3_rec = jnp.roll(z1_rec, 1, axis=0)
                     total, _, _ = loss(None, None, None, z1_rec, z2_rec, z3_rec)
-                    return nan_check(total, "loss")
+                    # mean code norm: the norm-drift telemetry
+                    znorm = jnp.mean(jnp.linalg.norm(z1_rec, axis=1))
+                    return nan_check(total, "loss"), znorm
 
-                total, grads = jax.value_and_grad(objective)(params)
+                (total, znorm), grads = jax.value_and_grad(
+                    objective, has_aux=True
+                )(params)
                 updates, new_opt = optim.update(grads, opt_state, params)
                 return (
                     optax.apply_updates(params, updates), new_opt, key, arrays
-                ), total
+                ), (total, znorm)
 
             n_inner = max(1, min(self.log_step, self.save_step))
 
@@ -109,11 +125,11 @@ class Solver:
             def chunk(params, opt_state, key, arrays):
                 # corpus arrays enter as jit arguments (see
                 # KittiDeviceSampler.arrays), never as baked constants
-                (params, opt_state, key, _), losses = jax.lax.scan(
+                (params, opt_state, key, _), (losses, znorms) = jax.lax.scan(
                     one_step, (params, opt_state, key, arrays), None,
                     length=n_inner,
                 )
-                return params, opt_state, key, losses
+                return params, opt_state, key, losses, znorms
 
             self._chunk = chunk
             self._n_inner = n_inner
@@ -138,11 +154,15 @@ class Solver:
                 z1_rec, z2_rec = z[:b], z[b:]
                 z3_rec = jnp.roll(z1_rec, 1, axis=0)
                 total, _, _ = loss(None, None, None, z1_rec, z2_rec, z3_rec)
-                return nan_check(total, "loss")
+                znorm = jnp.mean(jnp.linalg.norm(z1_rec, axis=1))
+                return nan_check(total, "loss"), znorm
 
-            total, grads = jax.value_and_grad(objective)(params)
+            (total, znorm), grads = jax.value_and_grad(
+                objective, has_aux=True
+            )(params)
             updates, new_opt = optim.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt, key, total
+            return (optax.apply_updates(params, updates), new_opt, key,
+                    total, znorm)
 
         self._step = step
         self._apply_jit = jax.jit(self.net.apply)
@@ -150,19 +170,27 @@ class Solver:
     def train(self) -> bool:
         failure = False
         running_loss = 0.0
+        running_norm = 0.0
         running_count = 0
         log = open(os.path.join(self.output_dir, "log.csv"), "a", 1)
         log.write("Total Loss\n")
+        # norm-drift telemetry (ours; separate file so log.csv keeps the
+        # reference's single-column format for kitti_analysis.load_csv)
+        nlog = open(os.path.join(self.output_dir, "norms.csv"), "a", 1)
+        nlog.write("Mean zNorm\n")
 
-        def on_progress(losses):
-            nonlocal running_loss, running_count
-            for v in losses:
+        def on_progress(losses, norms):
+            nonlocal running_loss, running_norm, running_count
+            for v, nm in zip(losses, norms):
                 running_loss += float(v)
+                running_norm += float(nm)
                 running_count += 1
                 self.global_iter += 1
                 if self.global_iter % self.log_step == 0:
                     log.write("%.6f\n" % (running_loss / running_count))
+                    nlog.write("%.6f\n" % (running_norm / running_count))
                     running_loss = 0.0
+                    running_norm = 0.0
                     running_count = 0
                 if self.global_iter % self.save_step == 0:
                     self.save_checkpoint("last")
@@ -173,22 +201,25 @@ class Solver:
             if self.device_sampler is not None:
                 n = min(self._n_inner, self.max_iter - self.global_iter)
                 if n == self._n_inner:
-                    self.params, self.opt_state, self.key, losses = self._chunk(
+                    (self.params, self.opt_state, self.key, losses,
+                     znorms) = self._chunk(
                         self.params, self.opt_state, self.key,
                         self.device_sampler.arrays,
                     )
-                    on_progress(np.asarray(losses).tolist())
+                    on_progress(np.asarray(losses).tolist(),
+                                np.asarray(znorms).tolist())
                     continue
             # host-fed per-step path (also used for ragged final steps)
             x1, x2, _, _ = self.dataset.sample_pair_batch(
                 self.batch_pairs, self.np_rng
             )
-            self.params, self.opt_state, self.key, total = self._step(
+            self.params, self.opt_state, self.key, total, znorm = self._step(
                 self.params, self.opt_state, self.key,
                 jnp.asarray(x1), jnp.asarray(x2),
             )
-            on_progress([total])
+            on_progress([total], [znorm])
         log.close()
+        nlog.close()
         self.save_checkpoint("last")
         return failure
 

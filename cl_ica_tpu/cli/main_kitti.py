@@ -95,6 +95,18 @@ def build_parser():
     parser.add_argument("--kitti-max-delta-t", default=1, type=int,
                         help="max t difference between frames sampled from "
                              "kitti data loader.")
+    # ---- flags beyond the reference set (documented in PARITY.md) ----
+    parser.add_argument("--augment", action="store_true", default=False,
+                        help="enable the paired RandomAffine+HFlip "
+                             "augmentation the reference defines but "
+                             "never wires into training "
+                             "(kitti_masks/dataset.py:31-42 vs :158-163)")
+    parser.add_argument("--lr-cosine", action="store_true", default=False,
+                        help="cosine-decay the learning rate to 0 over "
+                             "max-iter (late-run norm-drift mitigation)")
+    parser.add_argument("--weight-decay", default=0.0, type=float,
+                        help="AdamW decoupled weight decay (norm-drift "
+                             "mitigation; 0 = reference Adam)")
     parser.add_argument("--natural-discrete", action="store_true", default=False,
                         help="discretize natural sprites")
     parser.add_argument("--verbose", action="store_true", default=False,

@@ -308,7 +308,19 @@ def return_data(args):
     assert not (args.batch_size % 2)
     if args.dataset.lower() != "kittimasks":
         raise NotImplementedError(args.dataset)
-    transform = None if getattr(args, "evaluate", False) else "default"
+    # BEHAVIORAL reference parity: kitti_masks/dataset.py:158-163 never
+    # passes a transform — its evaluate/train branch is a no-op and the
+    # class default is None, so the reference TRAINS WITHOUT
+    # augmentation (the "default" RandomAffine pipeline at :31-42 is
+    # dead code there). We mirror that, and expose the augmentation the
+    # reference authors evidently wrote-but-never-wired behind an
+    # explicit --augment opt-in (PARITY.md deviation #7).
+    transform = (
+        "default"
+        if getattr(args, "augment", False)
+        and not getattr(args, "evaluate", False)
+        else None
+    )
     data = KittiMasks(
         path=getattr(args, "dset_dir", "./data/kitti/"),
         transform=transform,

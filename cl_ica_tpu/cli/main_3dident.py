@@ -121,6 +121,13 @@ def parse_args(argv=None):
                              "datasets beyond one chip's HBM), encoder "
                              "row-sharded, InfoNCE negatives global. "
                              "0/1 = single device.")
+    parser.add_argument("--lr-cosine", action="store_true",
+                        help="cosine-decay the learning rate to 0 over "
+                             "--iterations (late-run norm-drift "
+                             "mitigation; default = reference constant lr)")
+    parser.add_argument("--weight-decay", default=0.0, type=float,
+                        help="AdamW decoupled weight decay (norm-drift "
+                             "mitigation; 0 = reference Adam)")
     args = parser.parse_args(argv)
 
     if args.no_spotlight:
@@ -445,9 +452,19 @@ def main(argv=None):
         )
         print("Model saved as", path)
 
-    optimizer = (
-        optax.adam(args.lr) if args.optimizer == "adam" else optax.sgd(args.lr)
-    )
+    # reference: constant-lr Adam/SGD (main_3dident.py:451-454).
+    # --lr-cosine / --weight-decay are opt-in norm-drift mitigations
+    # (EXPERIMENTS r3); defaults reproduce the reference exactly.
+    lr = args.lr
+    if args.lr_cosine:
+        lr = optax.cosine_decay_schedule(args.lr, max(args.iterations, 1))
+    if args.optimizer == "adam":
+        optimizer = (
+            optax.adamw(lr, weight_decay=args.weight_decay)
+            if args.weight_decay > 0 else optax.adam(lr)
+        )
+    else:
+        optimizer = optax.sgd(lr)
     opt_state = optimizer.init(params)
 
     # ---- jitted apply / steps ----
@@ -582,6 +599,8 @@ def main(argv=None):
             return np.inf, np.inf, np.inf, np.inf
         z = np.concatenate(zs)
         hz = np.concatenate(hzs)
+        # norm-drift telemetry (EXPERIMENTS r3): mean ||hz||
+        evaluate.last_znorm = float(np.linalg.norm(hz, axis=1).mean())
         (lin, _), (z_test, hz_lin) = linear_disentanglement(
             z, hz, mode="r2", train_test_split=True
         )
@@ -707,6 +726,7 @@ def main(argv=None):
                         "linear_disentanglement": lin,
                         "perm_disentanglement": mcc,
                         "pairs_per_sec": pps or 0.0,
+                        "mean_znorm": getattr(evaluate, "last_znorm", 0.0),
                     })
                 if (args.save_every is not None
                         and (step + 1) % args.save_every == 0):
@@ -749,6 +769,7 @@ def main(argv=None):
                     "linear_disentanglement": lin,
                     "perm_disentanglement": mcc,
                     "pairs_per_sec": pps or 0.0,
+                    "mean_znorm": getattr(evaluate, "last_znorm", 0.0),
                 })
                 if args.identity_mixing_and_solution and sys.stdin.isatty():
                     identity_scale = float(input("scale?: "))

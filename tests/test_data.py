@@ -301,3 +301,24 @@ def test_prefetching_pair_loader_multi_worker(threedident_root, key):
         seen.add(float(np.sum(np.asarray(z))))
     loader.close()
     assert len(seen) > 1  # distinct batches from distinct worker keys
+
+
+def test_return_data_reference_default_is_unaugmented(kitti_root):
+    """Behavioral parity (PARITY.md deviation #7): the reference's
+    return_data never wires its transform — both branches construct
+    KittiMasks(transform=None) (kitti_masks/dataset.py:158-163) — so
+    training is un-augmented by default; --augment opts in."""
+    import types
+
+    from cl_ica_tpu.data.kitti import return_data
+
+    base = dict(image_size=64, batch_size=8, dataset="kittimasks",
+                kitti_max_delta_t=1, dset_dir=kitti_root)
+    ds, pairs, nc = return_data(types.SimpleNamespace(**base))
+    assert ds.use_augmentation is False and pairs == 4 and nc == 1
+    ds, _, _ = return_data(types.SimpleNamespace(**base, augment=True))
+    assert ds.use_augmentation is True
+    ds, _, _ = return_data(
+        types.SimpleNamespace(**base, augment=True, evaluate=True)
+    )
+    assert ds.use_augmentation is False  # eval never augments

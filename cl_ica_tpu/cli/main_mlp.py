@@ -92,6 +92,13 @@ def parse_args(argv=None):
     parser.add_argument("--c-p", type=int, default=2,
                         help="Exponent of ground-truth Lp Exponential distribution.")
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lr-cosine", action="store_true",
+                        help="cosine-decay the lr over the phase "
+                             "(norm-drift mitigation; default = reference "
+                             "constant-lr Adam)")
+    parser.add_argument("--weight-decay", type=float, default=0.0,
+                        help="AdamW decoupled weight decay (norm-drift "
+                             "mitigation; 0 = reference Adam)")
     parser.add_argument("--p", type=int, default=2,
                         help="Exponent of the assumed model Lp Exponential "
                              "distribution.")
@@ -259,7 +266,19 @@ def main(argv=None):
         )
         root_key, k_init = jax.random.split(root_key)
         params = f.init(k_init, jnp.zeros((2, args.n)))
-        optimizer = optax.adam(args.lr)
+        # reference: constant-lr Adam (main_mlp.py). Opt-in mitigations
+        # for the unconstrained-head norm runaway (EXPERIMENTS r1/r3).
+        phase_steps = args.n_steps * (
+            args.more_unsupervised if not test else 1
+        )
+        lr = (
+            optax.cosine_decay_schedule(args.lr, max(phase_steps, 1))
+            if args.lr_cosine else args.lr
+        )
+        optimizer = (
+            optax.adamw(lr, weight_decay=args.weight_decay)
+            if args.weight_decay > 0 else optax.adam(lr)
+        )
 
         # per-step dispatch would dominate this experiment's wall time on
         # TPU (the fused step is ~100 µs of compute); scan n_log_steps

@@ -141,6 +141,12 @@ def store_gather_scatter(mesh: Mesh, store_shape, axis: str = "data"):
 
     Returns fn(store_sharded, idx_replicated) -> (B/n, ...) uint8 rows,
     sharded P(axis); B must divide by the axis size.
+
+    Hardware note: validated on the virtual CPU mesh (this host has one
+    real chip). If a TPU pod's ICI reduce-scatter rejects u8 operands,
+    XLA promotes the collective to a wider integer — still at worst
+    equal to the old fp32 all-reduce; the semantics are unchanged
+    either way.
     """
     n_rows = store_shape[0]
     n_shards = mesh.shape[axis]

@@ -109,6 +109,12 @@ def parse_args(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute in the encoder backbone "
                              "(MXU throughput; params stay fp32)")
+    parser.add_argument("--norm-kind", default="minres",
+                        choices=("minres", "fast", "batch"),
+                        help="Encoder BatchNorm flavor. 'minres' "
+                             "(default, torch-parity math) since r3; "
+                             "pass 'batch' to load checkpoints saved "
+                             "under the pre-r3 flax nn.BatchNorm naming")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of the training "
                              "loop into this directory (TensorBoard/XProf).")
@@ -239,6 +245,12 @@ class ThreeDIdentEncoder(nn.Module):
     # fused Pallas stem + FastBatchNorm (ops/stem_pallas.py): same math,
     # less HBM traffic; checkpoints interchange with the default stem
     fused_stem: bool = False
+    # BN flavor. 'minres' (default): torch-parity BN math + minimal-
+    # residual custom VJP. 'batch' (flax nn.BatchNorm) was the default
+    # through round 2 — its checkpoints use different flax module names
+    # (BatchNorm_i vs MinResBN_i), so pass --norm-kind batch to load
+    # pre-r3 saves. 'fast' = FastBatchNorm (what fused_stem uses).
+    norm_kind: str = "minres"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -259,7 +271,7 @@ class ThreeDIdentEncoder(nn.Module):
             h = backbone(
                 num_classes=n * 10,
                 dtype=self.dtype,
-                norm_kind="fast" if self.fused_stem else "minres",
+                norm_kind="fast" if self.fused_stem else self.norm_kind,
                 fused_stem_pool=self.fused_stem,
             )(x, train=train)
             h = nn.leaky_relu(h)
@@ -372,6 +384,7 @@ def main(argv=None):
         identity_solution=args.identity_solution,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         fused_stem=args.fused_stem,
+        norm_kind=args.norm_kind,
     )
 
     g = None
@@ -464,7 +477,15 @@ def main(argv=None):
             if args.weight_decay > 0 else optax.adam(lr)
         )
     else:
-        optimizer = optax.sgd(lr)
+        if args.weight_decay > 0:
+            # decoupled decay for SGD too, rather than silently ignoring
+            # the requested mitigation
+            optimizer = optax.chain(
+                optax.add_decayed_weights(args.weight_decay),
+                optax.sgd(lr),
+            )
+        else:
+            optimizer = optax.sgd(lr)
     opt_state = optimizer.init(params)
 
     # ---- jitted apply / steps ----
@@ -616,6 +637,18 @@ def main(argv=None):
 
     # ---- multi-chip path: mesh-sharded store + sharded train step ----
     mesh_step = None
+    if use_mesh and load_images and (
+        sampler.images is None or sampler.images._packed is None
+    ):
+        # refuse to silently degrade to the single-device host path
+        raise SystemExit(
+            "--mesh needs the packed uint8 image store "
+            "(images_packed_*.u8), which is built automatically from an "
+            f"images/ directory — neither found under "
+            f"{args.offline_dataset!r}, so the sharded store cannot be "
+            "constructed (and silently falling back to the single-"
+            "device host path would defeat --mesh)."
+        )
     if use_mesh and load_images and sampler.images is not None \
             and sampler.images._packed is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

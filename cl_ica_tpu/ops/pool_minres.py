@@ -45,13 +45,15 @@ from .bn_minres import _affine, _bn_bwd_core, _channel_stats
 _BIG = jnp.int32(2**30)
 
 
-def _pool_fwd_core(z, interpret_dtype=None):
+def _pool_fwd_core(z):
     """(pooled, winner_code) for 3×3/2 maxpool with padding 1.
 
     winner_code ∈ [0, 9): row-major position of the first-wins max
     within its window (padded coordinates), stored as int8.
     """
     n, h, w, c = z.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"bn_relu_pool requires even H, W; got {(h, w)}")
     flat = (
         lax.broadcasted_iota(jnp.int32, z.shape, 1) * w
         + lax.broadcasted_iota(jnp.int32, z.shape, 2)
@@ -127,10 +129,6 @@ def bn_relu_pool(x, scale, bias, eps):
 
 
 def _bn_relu_pool_fwd(x, scale, bias, eps):
-    if x.shape[1] % 2 or x.shape[2] % 2:
-        raise ValueError(
-            f"bn_relu_pool requires even H, W; got {x.shape[1:3]}"
-        )
     mean, var = _channel_stats(x)
     rstd = lax.rsqrt(var + eps)
     a, b = _affine(scale, bias, mean, rstd, x.dtype)

@@ -55,10 +55,12 @@ def tp_param_rule(mesh: Mesh, axis: str):
     - 2-D dense kernels: column-sharded (megatron style);
     - 1-D per-channel vectors (BN scale/bias/stats, biases): sharded on
       their dim when channel-aligned;
-    - anything whose target dim is NOT divisible by the axis size
-      (e.g. the Dense(n_latents) head at n=10) is replicated — no
-      silent mis-sharding of odd shapes (the r2 critique of the
-      shape-only rule).
+    - anything whose target dim is NOT divisible by the axis size is
+      replicated — no silent mis-sharding of odd shapes (the r2
+      critique of the shape-only rule). Note this is a divisibility
+      contract, nothing more: the Dense(n_latents) head at n=10 is
+      replicated on a 4-way model axis but column-sharded on a 2-way
+      one (10 % 2 == 0); GSPMD keeps the math identical either way.
 
     BatchNorm under this rule stays EXACT: statistics reduce over
     (N, H, W) per channel, so a channel shard owns its statistics

@@ -368,6 +368,14 @@ def build_segmentation_materials(assets_dir: str, n_objects: int):
     return materials, colors
 
 
+def segm_output_path(render_filepath: str) -> str:
+    """``*_segm.png`` path next to an RGB render (the segmentation
+    pass's output naming contract — kept as a pure function so the
+    resumable render loop can test frame completeness bpy-free)."""
+    base, ext = os.path.splitext(render_filepath)
+    return base + "_segm" + ext
+
+
 def render_segmentation_pass(object_names: List[str], segm_materials,
                              render_filepath: str) -> str:
     """Swap every object's material for its segmentation material, render
@@ -375,8 +383,7 @@ def render_segmentation_pass(object_names: List[str], segm_materials,
     (render_utils.render_segmentation, simplified to the used path)."""
     import bpy
 
-    base, ext = os.path.splitext(render_filepath)
-    segm_path = base + "_segm" + ext
+    segm_path = segm_output_path(render_filepath)
     scene = bpy.context.scene
     prev_path = scene.render.filepath
     scene.render.filepath = segm_path

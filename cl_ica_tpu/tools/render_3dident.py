@@ -117,6 +117,23 @@ def resolve_object_name(names, index: int) -> str:
     raise KeyError(f"no scene object matches *{suffix}")
 
 
+def frame_resume_state(out: str, want_segm: bool):
+    """Resumability decision (generate_clevr_dataset_images.py:47-49),
+    extended for the segmentation pass: a frame counts as DONE only when
+    every requested output exists, so re-running with --segmentation
+    backfills ``*_segm.png`` next to already-rendered RGB frames instead
+    of skipping them. Returns ``(have_rgb, done)``; the render loop
+    skips the RGB render when ``have_rgb`` and the whole frame when
+    ``done``."""
+    from .blender_scene import segm_output_path
+
+    have_rgb = os.path.exists(out)
+    done = have_rgb and (
+        not want_segm or os.path.exists(segm_output_path(out))
+    )
+    return have_rgb, done
+
+
 def _apply_scene(bpy, params: SceneParams, object_name: str, spot_name: str,
                  update_lights: bool):
     obj = bpy.data.objects[object_name]
@@ -198,14 +215,16 @@ def render_shard(args):
 
     for idx in indices:
         out = os.path.join(out_dir, f"{str(idx).zfill(zfill)}.png")
-        if os.path.exists(out):
+        have_rgb, done = frame_resume_state(out, segm_materials is not None)
+        if done:
             print("Skipped file", out)
             continue
         params = latents_to_scene(latents[idx])
         _apply_scene(bpy, params, object_name, "Spotlight_Object_0",
                      not args.no_spotlights)
-        scene.render.filepath = out
-        bpy.ops.render.render(write_still=True)
+        if not have_rgb:
+            scene.render.filepath = out
+            bpy.ops.render.render(write_still=True)
         if segm_materials is not None:
             from .blender_scene import render_segmentation_pass
 

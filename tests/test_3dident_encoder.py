@@ -71,3 +71,19 @@ def test_split_loss_subset_modes():
     z1 = jax.random.normal(key, (8, 3))
     total, _, _ = loss(z1, z1 + 0.1, jnp.roll(z1, 1, 0))
     assert np.isfinite(float(total))
+
+
+def test_norm_kind_selects_bn_flavor():
+    """--norm-kind wires through to the backbone; 'batch' rebuilds the
+    pre-r3 flax nn.BatchNorm module naming so old checkpoints load."""
+    def param_names(norm_kind):
+        model = ThreeDIdentEncoder(
+            n_latents=4, n_non_angular=4, non_periodic=True,
+            norm_kind=norm_kind,
+        )
+        v = model.init(key, jnp.zeros((2, 32, 32, 3)), train=False)
+        flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+        return " ".join(str(p) for p, _ in flat)
+
+    assert "BatchNorm_0" in param_names("batch")
+    assert "MinResBN" in param_names("minres")

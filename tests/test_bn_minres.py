@@ -229,3 +229,11 @@ def test_fused_stem_pool_rejects_norm_none():
     m = ResNet18(num_classes=5, norm_kind="none", fused_stem_pool=True)
     with pytest.raises(ValueError, match="norm_kind"):
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+
+def test_bn_relu_pool_rejects_odd_spatial_primal():
+    # same invariant on the forward-only (non-differentiated) path —
+    # previously only the VJP path validated it
+    x = jnp.zeros((1, 7, 8, 3))
+    with pytest.raises(ValueError, match="even"):
+        pool_minres.bn_relu_pool(x, jnp.ones((3,)), jnp.zeros((3,)), EPS)

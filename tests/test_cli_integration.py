@@ -199,3 +199,26 @@ def test_main_3dident_mesh_rejects_indivisible_batch(tmp_path):
     )
     assert r.returncode != 0
     assert "divisible" in (r.stderr + r.stdout)
+
+
+def test_main_3dident_mesh_requires_packed_store(tmp_path):
+    """--mesh with no image store must fail loudly instead of silently
+    degrading to the single-device host path."""
+    import numpy as np
+
+    root = tmp_path / "data"
+    root.mkdir(parents=True)
+    lat = np.random.default_rng(0).uniform(-1, 1, (48, 10)).astype(np.float32)
+    np.save(root / "raw_latents.npy", lat)
+    r = _run_env(
+        [
+            "cl_ica_tpu.cli.main_3dident", "--mode", "unsupervised",
+            "--offline-dataset", str(root),
+            "--non-periodic-rotation-and-color",
+            "--mesh", "8", "--batch-size", "8", "--iterations", "2",
+            "--n-eval-samples", "0", "--seed", "0",
+        ],
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert r.returncode != 0
+    assert "packed uint8 image store" in (r.stderr + r.stdout)

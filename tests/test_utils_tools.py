@@ -305,3 +305,18 @@ def test_segmentation_plan_parity():
         {"index": 1, "n_objects": 2},
         {"index": 2, "n_objects": 2},
     ]
+
+
+def test_frame_resume_state(tmp_path):
+    """A frame is done only when EVERY requested output exists — a
+    --segmentation re-run backfills *_segm.png for existing RGB frames
+    instead of skipping them."""
+    from cl_ica_tpu.tools.render_3dident import frame_resume_state
+
+    out = str(tmp_path / "000001.png")
+    assert frame_resume_state(out, False) == (False, False)
+    open(out, "wb").close()
+    assert frame_resume_state(out, False) == (True, True)
+    assert frame_resume_state(out, True) == (True, False)
+    open(str(tmp_path / "000001_segm.png"), "wb").close()
+    assert frame_resume_state(out, True) == (True, True)

@@ -172,12 +172,17 @@ class Solver:
         running_loss = 0.0
         running_norm = 0.0
         running_count = 0
+        # append mode for checkpoint-resumed runs; write the header only
+        # when the file is fresh so a resume does not interleave a second
+        # header row into the data (kitti_analysis.load_csv expects one)
         log = open(os.path.join(self.output_dir, "log.csv"), "a", 1)
-        log.write("Total Loss\n")
+        if log.tell() == 0:
+            log.write("Total Loss\n")
         # norm-drift telemetry (ours; separate file so log.csv keeps the
         # reference's single-column format for kitti_analysis.load_csv)
         nlog = open(os.path.join(self.output_dir, "norms.csv"), "a", 1)
-        nlog.write("Mean zNorm\n")
+        if nlog.tell() == 0:
+            nlog.write("Mean zNorm\n")
 
         def on_progress(losses, norms):
             nonlocal running_loss, running_norm, running_count

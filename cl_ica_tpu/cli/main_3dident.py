@@ -153,6 +153,12 @@ def parse_args(argv=None):
              or args.no_spotlight_position)
     )
     assert not (args.box_constraint is not None and args.sphere_constraint is not None)
+    if args.fused_stem and args.norm_kind == "batch":
+        raise SystemExit(
+            "--fused-stem forces the FastBatchNorm module naming, so it "
+            "cannot load the pre-r3 nn.BatchNorm checkpoints that "
+            "--norm-kind batch exists for; drop one of the two flags"
+        )
     if args.save_model is not None:
         assert os.path.exists(os.path.dirname(args.save_model) or "."), \
             f"Directory to save model does not exist"
@@ -401,6 +407,17 @@ def main(argv=None):
     load_images = not (args.dummy_mixing or args.identity_mixing_and_solution)
 
     use_mesh = args.mesh and args.mesh > 1 and args.mode == "unsupervised"
+    if args.mesh and args.mesh > 1 and not use_mesh:
+        raise SystemExit(
+            "--mesh covers only the unsupervised image train step; "
+            f"--mode {args.mode} would silently run single-device"
+        )
+    if use_mesh and not load_images:
+        raise SystemExit(
+            "--mesh is incompatible with --dummy-mixing/"
+            "--identity-mixing-and-solution: there is no image store to "
+            "shard, so the run would silently stay single-device"
+        )
     if args.mode in ("supervised", "unsupervised"):
         sampler = ThreeDIdentBatchSampler(
             args.offline_dataset, latent_space, args.batch_size,

@@ -90,6 +90,9 @@ def build_parser():
                         help="load previous checkpoint. insert checkpoint filename")
     parser.add_argument("--log-step", default=1000, type=int,
                         help="numer of iterations after which data is logged")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of the training "
+                             "loop into this directory (TensorBoard/XProf).")
     parser.add_argument("--save-step", default=10000, type=int,
                         help="number of iterations after which a checkpoint is saved")
     parser.add_argument("--kitti-max-delta-t", default=1, type=int,
@@ -166,7 +169,10 @@ def run_experiment(args, dataset, batch_pairs):
         eval_dis(args, dataset)
     else:
         net = Solver(args, dataset)
-        failure = net.train()
+        from ..utils.profiling import trace_context
+
+        with trace_context(args.profile_dir):
+            failure = net.train()
         if failure:
             print("failed in %.2fs" % (time.time() - t0))
             shutil.rmtree(args.output_dir)

@@ -282,6 +282,10 @@ def make_sharded_3dident_train_step(
         p_sh = o_sh = b_sh = rep
     else:
         assert example_params is not None, "model_axis needs example_params"
+        assert example_opt_state is not None, (
+            "model_axis needs example_opt_state (otherwise the opt state "
+            "is left unsharded while params are TP-sharded)"
+        )
         rule = tp_param_rule(mesh, model_axis)
         p_sh = jax.tree.map(rule, example_params)
         o_sh = jax.tree.map(rule, example_opt_state)

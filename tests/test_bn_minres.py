@@ -179,9 +179,12 @@ def test_minres_resnet_matches_fast_grads():
         np.testing.assert_allclose(gf[k], gm[k], atol=5e-5)
     # norm-param grads + running stats pair up positionally (module
     # class names differ: FastBatchNorm_i vs MinResBN_i / MinResBNPool)
-    for kf, km in zip(sorted(set(gf) - common), sorted(set(gm) - common)):
+    only_f, only_m = sorted(set(gf) - common), sorted(set(gm) - common)
+    assert len(only_f) == len(only_m)  # zip() must not truncate a leaf
+    for kf, km in zip(only_f, only_m):
         assert kf[-1] == km[-1]
         np.testing.assert_allclose(gf[kf], gm[km], atol=5e-5)
+    assert len(bf) == len(bm)
     for kf, km in zip(sorted(bf), sorted(bm)):
         assert kf[-1] == km[-1]
         np.testing.assert_allclose(bf[kf], bm[km], atol=1e-5)

@@ -222,3 +222,50 @@ def test_main_3dident_mesh_requires_packed_store(tmp_path):
     )
     assert r.returncode != 0
     assert "packed uint8 image store" in (r.stderr + r.stdout)
+
+
+# ---- in-process argument-validation guards (cheap: no subprocess) ----
+
+def test_main_3dident_mesh_rejects_non_unsupervised_mode(tmp_path):
+    """--mesh outside --mode unsupervised must fail loudly, not silently
+    train single-device (review r3)."""
+    from cl_ica_tpu.cli import main_3dident
+
+    root = tmp_path / "d"
+    root.mkdir()
+    with pytest.raises(SystemExit, match="unsupervised"):
+        main_3dident.main([
+            "--offline-dataset", str(root), "--mode", "supervised",
+            "--non-periodic-rotation-and-color",
+            "--mesh", "8", "--batch-size", "8", "--iterations", "1",
+            "--n-eval-samples", "0",
+        ])
+
+
+def test_main_3dident_mesh_rejects_dummy_mixing(tmp_path):
+    """--mesh with --dummy-mixing has no image store to shard: loud
+    failure instead of a silent single-device run (review r3)."""
+    from cl_ica_tpu.cli import main_3dident
+
+    root = tmp_path / "d"
+    root.mkdir()
+    with pytest.raises(SystemExit, match="image store to shard"):
+        main_3dident.main([
+            "--offline-dataset", str(root), "--mode", "unsupervised",
+            "--non-periodic-rotation-and-color", "--dummy-mixing",
+            "--mesh", "8", "--batch-size", "8", "--iterations", "1",
+            "--n-eval-samples", "0",
+        ])
+
+
+def test_main_3dident_fused_stem_rejects_batch_norm_kind():
+    """--fused-stem forces FastBatchNorm naming; combining it with
+    --norm-kind batch (the pre-r3 checkpoint-compat flag) must error
+    up front instead of silently overriding (review r3)."""
+    from cl_ica_tpu.cli import main_3dident
+
+    with pytest.raises(SystemExit, match="fused-stem|FastBatchNorm"):
+        main_3dident.parse_args([
+            "--offline-dataset", "/tmp", "--fused-stem",
+            "--norm-kind", "batch",
+        ])

@@ -77,14 +77,14 @@ def main():
     results = {}
     for kind in kinds:
         state, step = build(kind)
-        lowered = jax.jit(step, donate_argnums=(0,)).lower(state)
-        compiled = lowered.compile()
+        # one jit wrapper serves both cost_analysis and the timed loop —
+        # a second wrapper would recompile (~85 s on the remote service)
+        step_jit = jax.jit(step, donate_argnums=(0,))
+        compiled = step_jit.lower(state).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         gb = ca.get("bytes accessed", float("nan")) / 1e9
         print(f"[{kind}] HLO bytes accessed: {gb:.2f} GB", flush=True)
-
-        step_jit = jax.jit(step, donate_argnums=(0,))
         state, loss = step_jit(state)
         float(loss)
         state, loss = step_jit(state)
@@ -98,7 +98,7 @@ def main():
         pps = BATCH / dt
         results[kind] = (gb, dt * 1e3, pps)
         print(f"[{kind}] {dt*1e3:.1f} ms/step  {pps:.0f} pairs/s", flush=True)
-        del state, step_jit, compiled, lowered
+        del state, step_jit, compiled
 
     print("\nkind      GB      ms    pairs/s")
     for k, (gb, ms, pps) in results.items():

@@ -110,7 +110,18 @@ def parse_args(argv=None):
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of the training "
                              "loop into this directory (TensorBoard/XProf).")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="Train data-parallel over an N-device mesh: "
+                             "per-chip latent sampling, row-sharded "
+                             "similarity matrix, global negatives via one "
+                             "ICI all-gather (parallel.sharded). The "
+                             "batch size is the GLOBAL batch.")
     args = parser.parse_args(argv)
+    if args.mesh and args.mesh > 1 and args.batch_size % args.mesh:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by "
+            f"--mesh {args.mesh} (row-sharded batches)"
+        )
 
     print("Arguments:")
     for k, v in vars(args).items():
@@ -284,16 +295,35 @@ def main(argv=None):
         # TPU (the fused step is ~100 µs of compute); scan n_log_steps
         # training steps per device call — same math, one dispatch per
         # eval window (the reference evaluates at step ≡ 1 mod n_log).
-        make_steps = lambda n_inner: make_scanned_synthetic_train_steps(
-            latent_space.sample_pair,
-            g,
-            lambda p, x: f.apply(p, x),
-            loss,
-            optimizer,
-            args.batch_size,
-            n_inner=n_inner,
-            supervised=test,
-        )
+        if args.mesh and args.mesh > 1:
+            # multi-chip: same scanned contract, but sampling/encoder/
+            # similarity rows are sharded over the mesh with global
+            # negatives (one ICI all-gather per step)
+            from ..parallel import make_mesh, make_sharded_synthetic_train_step
+
+            mesh = make_mesh(args.mesh)
+            make_steps = lambda n_inner: make_sharded_synthetic_train_step(
+                mesh,
+                latent_space.sample_pair,
+                g,
+                lambda p, x: f.apply(p, x),
+                loss,
+                optimizer,
+                args.batch_size,
+                n_inner=n_inner,
+                supervised=test,
+            )
+        else:
+            make_steps = lambda n_inner: make_scanned_synthetic_train_steps(
+                latent_space.sample_pair,
+                g,
+                lambda p, x: f.apply(p, x),
+                loss,
+                optimizer,
+                args.batch_size,
+                n_inner=n_inner,
+                supervised=test,
+            )
         step_1 = make_steps(1)
         step_chunk = make_steps(args.n_log_steps)
         root_key, k_train = jax.random.split(root_key)
@@ -311,7 +341,11 @@ def main(argv=None):
         def run_chunk(fn, n):
             nonlocal state
             state, metrics = fn(state)
-            total_loss_values.extend(np.asarray(metrics["loss"]).tolist())
+            # scanned steps return (n_inner,) losses; a single sharded
+            # step returns a scalar — atleast_1d covers both contracts
+            total_loss_values.extend(
+                np.atleast_1d(np.asarray(metrics["loss"])).tolist()
+            )
             throughput.update(args.batch_size * n)
 
         def do_eval():

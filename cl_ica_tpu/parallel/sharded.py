@@ -94,6 +94,8 @@ def make_sharded_synthetic_train_step(
     donate: bool = True,
     model_axis: str = None,
     example_state: TrainState = None,
+    n_inner: int = 1,
+    supervised: bool = False,
 ):
     """Data-parallel (optionally + tensor-parallel) synthetic train step.
 
@@ -103,32 +105,48 @@ def make_sharded_synthetic_train_step(
     XLA turns the loss grad reduction into psums over ICI. With a
     model_axis (2-D mesh), encoder kernels are column-sharded over it
     (requires example_state to derive the sharding pytree).
+
+    n_inner > 1 scans that many steps per device call (same contract as
+    train.make_scanned_synthetic_train_steps: metrics carry a leading
+    (n_inner,) axis; lengths over MAX_SCAN_LEN are chunked across
+    sequential device calls). Collectives inside the scan are ordinary
+    GSPMD output — one compiled program per eval window, mesh or not.
+    supervised=True swaps the contrastive objective for the reference's
+    MSE-to-ground-truth phase (main_mlp.py:274-279).
     """
+    from ..train.trainer import MAX_SCAN_LEN
+    from ..utils.debug import nan_check
+
     dsh = data_sharding(mesh)
     rep = replicated(mesh)
 
     def constrain(x):
         return jax.lax.with_sharding_constraint(x, dsh)
 
-    def step(state: TrainState) -> Tuple[TrainState, dict]:
+    def one_step(state: TrainState, _) -> Tuple[TrainState, dict]:
         key, k_data = jax.random.split(state.key)
         z1, z2 = sample_pair(k_data, batch_size)
         z1 = constrain(z1)
         z2 = constrain(z2)
+        z3 = jnp.roll(z1, 1, axis=0)
 
         def objective(params):
             h = lambda z: constrain(apply_encoder(params, mixing(z)))
             z1_rec = h(z1)
             z2_rec = h(z2)
+            if supervised:
+                total = jnp.mean((z1_rec - z1) ** 2)
+                return total, (total, total)
             # global roll: with row-sharded z1_rec this is a cheap
             # boundary ppermute under GSPMD
             z3_rec = jnp.roll(z1_rec, 1, axis=0)
-            total, _, comps = loss_fn(None, None, None, z1_rec, z2_rec, z3_rec)
+            total, _, comps = loss_fn(z1, z2, z3, z1_rec, z2_rec, z3_rec)
             return total, (comps[0], comps[1])
 
         (total, (pos, neg)), grads = jax.value_and_grad(objective, has_aux=True)(
             state.params
         )
+        total = nan_check(total, "loss")
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -150,12 +168,51 @@ def make_sharded_synthetic_train_step(
             key=rep,
             batch_stats=None,
         )
-    return jax.jit(
-        step,
-        in_shardings=(state_shardings,),
-        out_shardings=(state_shardings, rep),
-        donate_argnums=(0,) if donate else (),
-    )
+
+    def jit_scan(length):
+        def steps(state: TrainState):
+            if length == 1:
+                new_state, m = one_step(state, None)
+                return new_state, jax.tree.map(lambda x: x[None], m)
+            return jax.lax.scan(one_step, state, None, length=length)
+
+        return jax.jit(
+            steps,
+            in_shardings=(state_shardings,),
+            out_shardings=(state_shardings, rep),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    if n_inner == 1:
+        fn = jit_scan(1)
+
+        def single(state):
+            new_state, m = fn(state)
+            # preserve the historical single-step contract: scalars
+            return new_state, jax.tree.map(lambda x: x[0], m)
+
+        return single
+
+    if n_inner <= MAX_SCAN_LEN:
+        return jit_scan(n_inner)
+
+    n_full, rem = divmod(n_inner, MAX_SCAN_LEN)
+    chunk_fns = {MAX_SCAN_LEN: jit_scan(MAX_SCAN_LEN)}
+    if rem:
+        chunk_fns[rem] = jit_scan(rem)
+    lengths = [MAX_SCAN_LEN] * n_full + ([rem] if rem else [])
+
+    def steps_chunked(state: TrainState):
+        metric_chunks = []
+        for length in lengths:
+            state, m = chunk_fns[length](state)
+            metric_chunks.append(m)
+        metrics = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *metric_chunks
+        )
+        return state, metrics
+
+    return steps_chunked
 
 
 def make_sharded_data_train_step(

@@ -428,3 +428,75 @@ def test_tp_resnet_matches_single_device(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
     for a, b in zip(jax.tree.leaves(bs2), jax.tree.leaves(ref_bs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_sharded_scanned_chunk_matches_single_device_scan():
+    """n_inner>1 sharded chunks must reproduce the single-device scanned
+    trainer's per-step losses (global-negative semantics inside scan)."""
+    from cl_ica_tpu.train import make_scanned_synthetic_train_steps
+
+    latent, g, f, params, loss, opt = _setup()
+    apply_fn = lambda p, x: f.apply(p, x)
+    n_inner = 5
+
+    single = make_scanned_synthetic_train_steps(
+        latent.sample_pair, g, apply_fn, loss, opt, BATCH, n_inner=n_inner,
+    )
+    mesh = make_mesh(8)
+    sharded = make_sharded_synthetic_train_step(
+        mesh, latent.sample_pair, g, apply_fn, loss, opt, BATCH,
+        donate=False, n_inner=n_inner,
+    )
+
+    s0 = TrainState.create(params, opt.init(params), jax.random.PRNGKey(0))
+    # scanned factory donates its input state: give it its own copy
+    s0b = TrainState.create(
+        jax.tree.map(jnp.array, params),
+        opt.init(jax.tree.map(jnp.array, params)),
+        jax.random.PRNGKey(0),
+    )
+    s1, m1 = single(s0b)
+    s2, m2 = sharded(s0)
+    assert m1["loss"].shape == (n_inner,)
+    assert m2["loss"].shape == (n_inner,)
+    np.testing.assert_allclose(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]), rtol=2e-4,
+    )
+    assert int(s2.step) == n_inner
+
+
+def test_sharded_supervised_phase_trains():
+    """supervised=True (the reference's MSE warm-start phase) must run
+    sharded and reduce the objective."""
+    latent, g, f, params, loss, opt = _setup()
+    mesh = make_mesh(8)
+    sharded = make_sharded_synthetic_train_step(
+        mesh, latent.sample_pair, g, lambda p, x: f.apply(p, x), loss, opt,
+        BATCH, donate=False, n_inner=20, supervised=True,
+    )
+    state = TrainState.create(params, opt.init(params), jax.random.PRNGKey(0))
+    state, m = sharded(state)
+    losses = np.asarray(m["loss"])
+    assert losses.shape == (20,)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # MSE decreasing
+
+
+def test_main_mlp_mesh_cli_end_to_end():
+    """--mesh 8 through the real driver on the virtual CPU mesh."""
+    from cl_ica_tpu.cli import main_mlp
+
+    main_mlp.main([
+        "--space-type", "box", "--n", "3", "--batch-size", "16",
+        "--n-steps", "4", "--n-log-steps", "2", "--more-unsupervised", "1",
+        "--num-eval-batches", "2", "--mesh", "8",
+    ])
+
+
+def test_main_mlp_mesh_rejects_indivisible_batch():
+    from cl_ica_tpu.cli import main_mlp
+
+    with pytest.raises(SystemExit, match="divisible"):
+        main_mlp.parse_args([
+            "--space-type", "box", "--batch-size", "12", "--mesh", "8",
+        ])

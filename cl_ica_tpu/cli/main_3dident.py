@@ -127,6 +127,16 @@ def parse_args(argv=None):
                              "datasets beyond one chip's HBM), encoder "
                              "row-sharded, InfoNCE negatives global. "
                              "0/1 = single device.")
+    parser.add_argument("--mesh-model", type=int, default=0,
+                        help="With --mesh N: carve an M-way tensor-"
+                             "parallel axis out of the mesh (2-D "
+                             "(N/M)x(M) data x model layout). Encoder "
+                             "conv/dense kernels are channel-sharded "
+                             "over it (parallel.sharded.tp_param_rule; "
+                             "BN statistics stay exact). The image "
+                             "store is sharded over the data axis only, "
+                             "so per-chip store memory grows by M. "
+                             "0/1 = pure data parallelism.")
     parser.add_argument("--lr-cosine", action="store_true",
                         help="cosine-decay the learning rate to 0 over "
                              "--iterations (late-run norm-drift "
@@ -153,6 +163,14 @@ def parse_args(argv=None):
              or args.no_spotlight_position)
     )
     assert not (args.box_constraint is not None and args.sphere_constraint is not None)
+    if args.mesh_model and args.mesh_model > 1:
+        if not (args.mesh and args.mesh > 1):
+            raise SystemExit("--mesh-model requires --mesh N")
+        if args.mesh % args.mesh_model:
+            raise SystemExit(
+                f"--mesh {args.mesh} must be divisible by "
+                f"--mesh-model {args.mesh_model} (2-D data x model mesh)"
+            )
     if args.fused_stem and args.norm_kind == "batch":
         raise SystemExit(
             "--fused-stem forces the FastBatchNorm module naming, so it "
@@ -676,19 +694,35 @@ def main(argv=None):
             pad_rows_to_multiple,
         )
 
-        mesh = make_mesh(args.mesh)
-        if args.batch_size % args.mesh:
+        mesh_model = (
+            args.mesh_model if args.mesh_model and args.mesh_model > 1 else 0
+        )
+        n_data = args.mesh // mesh_model if mesh_model else args.mesh
+        if mesh_model:
+            mesh = make_mesh(args.mesh, axis_names=("data", "model"),
+                             shape=(n_data, mesh_model))
+        else:
+            mesh = make_mesh(args.mesh)
+        if args.batch_size % n_data:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must be divisible by "
-                f"--mesh {args.mesh} (row-sharded batches)"
+                f"the mesh's data axis ({n_data}; row-sharded batches)"
             )
-        padded, _ = pad_rows_to_multiple(sampler.images._packed, args.mesh)
+        padded, _ = pad_rows_to_multiple(sampler.images._packed, n_data)
         sharded_store = jax.device_put(
             padded, NamedSharding(mesh, P("data"))
         )
+        tp_kwargs = {}
+        if mesh_model:
+            tp_kwargs = dict(
+                model_axis="model",
+                example_params=params,
+                example_opt_state=opt_state,
+                example_batch_stats=batch_stats,
+            )
         mesh_step = make_sharded_3dident_train_step(
             mesh, sampler._sample, apply_model, split_loss, optimizer,
-            padded.shape, normalize_3dident,
+            padded.shape, normalize_3dident, **tp_kwargs,
         )
         root_key, mesh_key = jax.random.split(root_key)
 
@@ -711,13 +745,27 @@ def main(argv=None):
             x = jax.lax.with_sharding_constraint(x, _dsh)
             return z, apply_model(p, bs, x, False)[0]
 
+        if mesh_model:
+            # params/stats arrive (and stay) TP-sharded after the first
+            # train step — match them so eval never gathers the tree
+            from ..parallel.sharded import tp_param_rule
+
+            _rule = tp_param_rule(mesh, "model")
+            _p_sh = jax.tree.map(_rule, params)
+            _b_sh = jax.tree.map(_rule, batch_stats)
+        else:
+            _p_sh = _rep
+            _b_sh = _rep
         mesh_eval = jax.jit(
             _mesh_eval,
-            in_shardings=(_rep, _rep, _rep, NamedSharding(mesh, P("data"))),
+            in_shardings=(_p_sh, _b_sh, _rep, NamedSharding(mesh, P("data"))),
             out_shardings=(_rep, _rep),
         )
-        print(f"mesh path: {args.mesh} devices, store {padded.shape} "
-              f"row-sharded, eval sharded", flush=True)
+        print(f"mesh path: {args.mesh} devices"
+              + (f" ({n_data} data x {mesh_model} model)" if mesh_model
+                 else "")
+              + f", store {padded.shape} row-sharded, eval sharded",
+              flush=True)
 
     throughput = Throughput()
     total_loss_values = []

@@ -269,3 +269,52 @@ def test_main_3dident_fused_stem_rejects_batch_norm_kind():
             "--offline-dataset", "/tmp", "--fused-stem",
             "--norm-kind", "batch",
         ])
+
+
+def test_main_3dident_mesh_model_tensor_parallel(tmp_path):
+    """--mesh 8 --mesh-model 2: 2-D (4 data x 2 model) mesh through the
+    real driver — conv kernels channel-sharded, store sharded over the
+    data axis, sharded eval."""
+    import numpy as np
+
+    from cl_ica_tpu.tools.make_synthetic_3dident import render_batch
+
+    root = tmp_path / "data"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(-1, 1, (48, 10)).astype(np.float32)
+    np.save(root / "raw_latents.npy", lat)
+    imgs = render_batch(lat, size=32)
+    store = np.lib.format.open_memmap(
+        root / "images_packed_32x32.u8", mode="w+", dtype=np.uint8,
+        shape=imgs.shape,
+    )
+    store[:] = imgs
+    store.flush()
+    r = _run_env(
+        [
+            "cl_ica_tpu.cli.main_3dident", "--mode", "unsupervised",
+            "--offline-dataset", str(root),
+            "--non-periodic-rotation-and-color",
+            "--mesh", "8", "--mesh-model", "2",
+            "--batch-size", "8", "--iterations", "4",
+            "--n-log-steps", "2", "--n-eval-samples", "16", "--seed", "0",
+        ],
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "4 data x 2 model" in r.stdout
+    assert "MCC" in r.stdout
+
+
+def test_main_3dident_mesh_model_guards():
+    from cl_ica_tpu.cli import main_3dident
+
+    with pytest.raises(SystemExit, match="requires --mesh"):
+        main_3dident.parse_args([
+            "--offline-dataset", "/tmp", "--mesh-model", "2",
+        ])
+    with pytest.raises(SystemExit, match="divisible"):
+        main_3dident.parse_args([
+            "--offline-dataset", "/tmp", "--mesh", "8", "--mesh-model", "3",
+        ])

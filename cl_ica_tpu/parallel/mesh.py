@@ -23,6 +23,13 @@ def make_mesh(
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only "
+            f"{len(devices)} JAX device(s) are visible; for a virtual "
+            f"mesh set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices} (and JAX_PLATFORMS=cpu)"
+        )
     devices = devices[:n_devices]
     if shape is None:
         shape = (n_devices,) if len(axis_names) == 1 else None

@@ -114,8 +114,8 @@ def make_sharded_synthetic_train_step(
     supervised=True swaps the contrastive objective for the reference's
     MSE-to-ground-truth phase (main_mlp.py:274-279).
     """
-    from ..train.trainer import MAX_SCAN_LEN
-    from ..utils.debug import nan_check
+    from ..train.trainer import MAX_SCAN_LEN, make_chunked_steps
+    from ..utils.debug import checkify_wrap, debug_enabled, nan_check
 
     dsh = data_sharding(mesh)
     rep = replicated(mesh)
@@ -169,50 +169,31 @@ def make_sharded_synthetic_train_step(
             batch_stats=None,
         )
 
-    def jit_scan(length):
-        def steps(state: TrainState):
-            if length == 1:
-                new_state, m = one_step(state, None)
-                return new_state, jax.tree.map(lambda x: x[None], m)
-            return jax.lax.scan(one_step, state, None, length=length)
-
+    def sharded_jit(fn):
+        # CL_ICA_TPU_DEBUG functionalizes the nan_check via checkify,
+        # like trainer._jit_step (checkify keeps error state alive, so
+        # no donation and no explicit shardings — GSPMD still honors
+        # the in-body sharding constraints)
+        if debug_enabled():
+            return checkify_wrap(jax.jit(fn))
         return jax.jit(
-            steps,
+            fn,
             in_shardings=(state_shardings,),
             out_shardings=(state_shardings, rep),
             donate_argnums=(0,) if donate else (),
         )
 
     if n_inner == 1:
-        fn = jit_scan(1)
+        # historical single-step contract: scalar metrics, no extra
+        # per-call device indexing
+        return sharded_jit(lambda state: one_step(state, None))
 
-        def single(state):
-            new_state, m = fn(state)
-            # preserve the historical single-step contract: scalars
-            return new_state, jax.tree.map(lambda x: x[0], m)
-
-        return single
-
-    if n_inner <= MAX_SCAN_LEN:
-        return jit_scan(n_inner)
-
-    n_full, rem = divmod(n_inner, MAX_SCAN_LEN)
-    chunk_fns = {MAX_SCAN_LEN: jit_scan(MAX_SCAN_LEN)}
-    if rem:
-        chunk_fns[rem] = jit_scan(rem)
-    lengths = [MAX_SCAN_LEN] * n_full + ([rem] if rem else [])
-
-    def steps_chunked(state: TrainState):
-        metric_chunks = []
-        for length in lengths:
-            state, m = chunk_fns[length](state)
-            metric_chunks.append(m)
-        metrics = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *metric_chunks
+    def jit_scan(length):
+        return sharded_jit(
+            lambda s: jax.lax.scan(one_step, s, None, length=length)
         )
-        return state, metrics
 
-    return steps_chunked
+    return make_chunked_steps(jit_scan, n_inner, MAX_SCAN_LEN)
 
 
 def make_sharded_data_train_step(

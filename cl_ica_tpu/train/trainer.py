@@ -33,6 +33,37 @@ from .state import TrainState
 MAX_SCAN_LEN = int(os.environ.get("CL_ICA_TPU_MAX_SCAN_LEN", "10000"))
 
 
+def make_chunked_steps(jit_scan, n_inner: int, max_len: int):
+    """Compose jitted scan chunks into one n_inner-step callable.
+
+    jit_scan(length) must return a jitted fn(state) -> (state, metrics)
+    whose metrics carry a leading (length,) axis. Lengths over max_len
+    are split into sequential device calls (MAX_SCAN_LEN's
+    backend-stability rationale); metrics are concatenated so callers
+    see a single (n_inner,) contract. Shared by the single-device and
+    mesh-sharded scanned factories."""
+    if n_inner <= max_len:
+        return jit_scan(n_inner)
+
+    n_full, rem = divmod(n_inner, max_len)
+    chunk_fns = {max_len: jit_scan(max_len)}
+    if rem:
+        chunk_fns[rem] = jit_scan(rem)
+    lengths = [max_len] * n_full + ([rem] if rem else [])
+
+    def steps_chunked(state):
+        metric_chunks = []
+        for length in lengths:
+            state, m = chunk_fns[length](state)
+            metric_chunks.append(m)
+        metrics = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *metric_chunks
+        )
+        return state, metrics
+
+    return steps_chunked
+
+
 def _jit_step(fn, donate: bool):
     """jit a step; under CL_ICA_TPU_DEBUG=1 additionally functionalize
     the nan_check guards via checkify so non-finite losses/grads raise
@@ -146,38 +177,13 @@ def make_scanned_synthetic_train_steps(
         )
         return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
 
-    max_len = MAX_SCAN_LEN  # snapshot: the limit at factory time governs
-
-    if n_inner <= max_len:
-        def steps(state: TrainState):
-            return jax.lax.scan(one_step, state, None, length=n_inner)
-
-        return _jit_step(steps, donate)
-
-    # chunked: q full-size programs + at most one remainder program
-    n_full, rem = divmod(n_inner, max_len)
-    chunk_fns = {
-        max_len: _jit_step(
-            lambda s: jax.lax.scan(one_step, s, None, length=max_len), donate
+    def jit_scan(length):
+        return _jit_step(
+            lambda s: jax.lax.scan(one_step, s, None, length=length), donate
         )
-    }
-    if rem:
-        chunk_fns[rem] = _jit_step(
-            lambda s: jax.lax.scan(one_step, s, None, length=rem), donate
-        )
-    lengths = [max_len] * n_full + ([rem] if rem else [])
 
-    def steps_chunked(state: TrainState):
-        metric_chunks = []
-        for length in lengths:
-            state, m = chunk_fns[length](state)
-            metric_chunks.append(m)
-        metrics = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *metric_chunks
-        )
-        return state, metrics
-
-    return steps_chunked
+    # snapshot: the limit at factory time governs
+    return make_chunked_steps(jit_scan, n_inner, MAX_SCAN_LEN)
 
 
 def make_data_train_step(

@@ -500,3 +500,24 @@ def test_main_mlp_mesh_rejects_indivisible_batch():
         main_mlp.parse_args([
             "--space-type", "box", "--batch-size", "12", "--mesh", "8",
         ])
+
+
+def test_sharded_step_debug_checkify(monkeypatch):
+    """CL_ICA_TPU_DEBUG=1 must functionalize the sharded path's
+    nan_check via checkify instead of crashing at trace time
+    (review r3)."""
+    monkeypatch.setenv("CL_ICA_TPU_DEBUG", "1")
+    latent, g, f, params, loss, opt = _setup()
+    mesh = make_mesh(8)
+    sharded = make_sharded_synthetic_train_step(
+        mesh, latent.sample_pair, g, lambda p, x: f.apply(p, x), loss, opt,
+        BATCH, donate=False, n_inner=3,
+    )
+    state = TrainState.create(params, opt.init(params), jax.random.PRNGKey(0))
+    state, m = sharded(state)  # must train, not raise
+    assert np.isfinite(np.asarray(m["loss"])).all()
+
+
+def test_make_mesh_rejects_too_few_devices():
+    with pytest.raises(ValueError, match="visible"):
+        make_mesh(64)

@@ -320,3 +320,32 @@ def test_frame_resume_state(tmp_path):
     assert frame_resume_state(out, True) == (True, False)
     open(str(tmp_path / "000001_segm.png"), "wb").close()
     assert frame_resume_state(out, True) == (True, True)
+
+
+def test_hlo_ledger_parses_compiled_hlo():
+    """tools/hlo_ledger.py (the roofline-evidence parser) must parse a
+    real compiled HLO module and attribute nonzero bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from tools.hlo_ledger import ledger, parse_entry, shape_bytes
+
+    assert shape_bytes("f32[128,256]") == 128 * 256 * 4
+    assert shape_bytes("(bf16[8,8]{1,0}, u8[4])") == 8 * 8 * 2 + 4
+    assert shape_bytes("pred[]") == 1
+
+    def f(a, b):
+        return jnp.tanh(a @ b).sum()
+
+    hlo = (
+        jax.jit(f)
+        .lower(jnp.zeros((64, 32)), jnp.zeros((32, 16)))
+        .compile()
+        .as_text()
+    )
+    insts, defs = parse_entry(hlo)
+    assert insts and defs
+    by_op, rows = ledger(hlo, top_n=3)
+    assert sum(by_op.values()) > 0
+    # the matmul must appear under some opcode (dot or a fusion)
+    assert any(op in by_op for op in ("dot", "fusion", "custom-call"))

@@ -116,11 +116,28 @@ def parse_args(argv=None):
                              "similarity matrix, global negatives via one "
                              "ICI all-gather (parallel.sharded). The "
                              "batch size is the GLOBAL batch.")
+    parser.add_argument("--mesh-model", type=int, default=0,
+                        help="With --mesh N: carve an M-way tensor-"
+                             "parallel axis out of the mesh; encoder "
+                             "kernels column-sharded (megatron-style) "
+                             "via parallel.sharded. 0/1 = pure DP.")
     args = parser.parse_args(argv)
-    if args.mesh and args.mesh > 1 and args.batch_size % args.mesh:
+    if args.mesh_model and args.mesh_model > 1:
+        if not (args.mesh and args.mesh > 1):
+            raise SystemExit("--mesh-model requires --mesh N")
+        if args.mesh % args.mesh_model:
+            raise SystemExit(
+                f"--mesh {args.mesh} must be divisible by "
+                f"--mesh-model {args.mesh_model} (2-D data x model mesh)"
+            )
+    n_data_axis = (
+        args.mesh // args.mesh_model
+        if args.mesh_model and args.mesh_model > 1 else args.mesh
+    )
+    if args.mesh and args.mesh > 1 and args.batch_size % n_data_axis:
         raise SystemExit(
             f"--batch-size {args.batch_size} must be divisible by "
-            f"--mesh {args.mesh} (row-sharded batches)"
+            f"the mesh's data axis ({n_data_axis}; row-sharded batches)"
         )
 
     print("Arguments:")
@@ -301,7 +318,25 @@ def main(argv=None):
             # negatives (one ICI all-gather per step)
             from ..parallel import make_mesh, make_sharded_synthetic_train_step
 
-            mesh = make_mesh(args.mesh)
+            mesh_model = (
+                args.mesh_model
+                if args.mesh_model and args.mesh_model > 1 else 0
+            )
+            tp_kwargs = {}
+            if mesh_model:
+                mesh = make_mesh(
+                    args.mesh, axis_names=("data", "model"),
+                    shape=(args.mesh // mesh_model, mesh_model),
+                )
+                tp_kwargs = dict(
+                    model_axis="model",
+                    example_state=TrainState.create(
+                        params, optimizer.init(params),
+                        jax.random.PRNGKey(0),
+                    ),
+                )
+            else:
+                mesh = make_mesh(args.mesh)
             make_steps = lambda n_inner: make_sharded_synthetic_train_step(
                 mesh,
                 latent_space.sample_pair,
@@ -312,6 +347,7 @@ def main(argv=None):
                 args.batch_size,
                 n_inner=n_inner,
                 supervised=test,
+                **tp_kwargs,
             )
         else:
             make_steps = lambda n_inner: make_scanned_synthetic_train_steps(

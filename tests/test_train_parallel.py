@@ -521,3 +521,24 @@ def test_sharded_step_debug_checkify(monkeypatch):
 def test_make_mesh_rejects_too_few_devices():
     with pytest.raises(ValueError, match="visible"):
         make_mesh(64)
+
+
+def test_main_mlp_mesh_model_cli_end_to_end():
+    """--mesh 8 --mesh-model 2 (2-D DP x TP) through the real MLP
+    driver on the virtual CPU mesh."""
+    from cl_ica_tpu.cli import main_mlp
+
+    main_mlp.main([
+        "--space-type", "box", "--n", "3", "--batch-size", "16",
+        "--n-steps", "4", "--n-log-steps", "2", "--more-unsupervised", "1",
+        "--num-eval-batches", "2", "--mesh", "8", "--mesh-model", "2",
+    ])
+
+
+def test_main_mlp_mesh_model_guards():
+    from cl_ica_tpu.cli import main_mlp
+
+    with pytest.raises(SystemExit, match="requires --mesh"):
+        main_mlp.parse_args(["--mesh-model", "2"])
+    with pytest.raises(SystemExit, match="divisible"):
+        main_mlp.parse_args(["--mesh", "8", "--mesh-model", "3"])

@@ -42,9 +42,17 @@ class Solver:
     (data.kitti.KittiDeviceSampler) and scans log_step training steps per
     device call — sampling, paired augmentation, encoding, loss and Adam
     fuse into one XLA program with no host data path. Set False for the
-    host-fed per-step path (needed only if the corpus outgrew HBM)."""
+    host-fed per-step path (needed only if the corpus outgrew HBM).
 
-    def __init__(self, args, dataset: KittiMasks, device_sampling: bool = True):
+    mesh: optional jax.sharding.Mesh with a 'data' axis — batches are
+    row-sharded across it inside the scanned chunk (GSPMD inserts the
+    global-negative all-gather + grad psums), params/corpus replicated.
+    Same global-batch loss semantics as single-device (the multi-chip
+    analog the other two drivers expose via --mesh)."""
+
+    def __init__(self, args, dataset: KittiMasks, device_sampling: bool = True,
+                 mesh=None):
+        self.mesh = mesh
         self.ckpt_dir = args.ckpt_dir
         self.output_dir = args.output_dir
         self.dataset = dataset
@@ -83,6 +91,23 @@ class Solver:
 
         net, loss, optim, augment = self.net, self.loss, self.optim, self.augment
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            if self.batch_pairs % n_data:
+                raise SystemExit(
+                    f"batch pairs {self.batch_pairs} (= --batch-size/2) "
+                    f"must be divisible by the mesh's data axis {n_data}"
+                )
+            _dsh = NamedSharding(mesh, P("data"))
+
+            def constrain(x):
+                return jax.lax.with_sharding_constraint(x, _dsh)
+        else:
+            def constrain(x):
+                return x
+
         self.device_sampler = None
         if device_sampling:
             self.device_sampler = KittiDeviceSampler(dataset)
@@ -93,6 +118,8 @@ class Solver:
                 params, opt_state, key, arrays = carry
                 key, k_data, k_aug = jax.random.split(key, 3)
                 x1_u8, x2_u8, _, _ = sampler.sample_batch(k_data, pairs, arrays)
+                x1_u8 = constrain(x1_u8)
+                x2_u8 = constrain(x2_u8)
                 if augment:
                     # fast variant: shared-index rotation + integer-grid
                     # translation (see data.kitti.augment_mask_pairs_fast)
@@ -137,6 +164,8 @@ class Solver:
         @checkify_wrap
         @jax.jit
         def step(params, opt_state, key, x1_u8, x2_u8):
+            x1_u8 = constrain(x1_u8)
+            x2_u8 = constrain(x2_u8)
             if augment:
                 k_aug, key = jax.random.split(key)
                 x1, x2 = augment_mask_pairs(k_aug, x1_u8, x2_u8)

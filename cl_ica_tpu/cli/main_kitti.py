@@ -93,6 +93,11 @@ def build_parser():
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of the training "
                              "loop into this directory (TensorBoard/XProf).")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="Train data-parallel over an N-device mesh: "
+                             "batch rows sharded inside the scanned chunk, "
+                             "InfoNCE negatives global (same loss as "
+                             "single-device). 0/1 = single device.")
     parser.add_argument("--save-step", default=10000, type=int,
                         help="number of iterations after which a checkpoint is saved")
     parser.add_argument("--kitti-max-delta-t", default=1, type=int,
@@ -168,7 +173,12 @@ def run_experiment(args, dataset, batch_pairs):
     if args.evaluate:
         eval_dis(args, dataset)
     else:
-        net = Solver(args, dataset)
+        mesh = None
+        if getattr(args, "mesh", 0) and args.mesh > 1:
+            from ..parallel import make_mesh
+
+            mesh = make_mesh(args.mesh)
+        net = Solver(args, dataset, mesh=mesh)
         from ..utils.profiling import trace_context
 
         with trace_context(args.profile_dir):

@@ -322,3 +322,59 @@ def test_return_data_reference_default_is_unaugmented(kitti_root):
         types.SimpleNamespace(**base, augment=True, evaluate=True)
     )
     assert ds.use_augmentation is False  # eval never augments
+
+
+def test_kitti_solver_mesh_matches_single_device(kitti_root, tmp_path):
+    """--mesh analog at solver level: the row-sharded scanned chunk must
+    reproduce the single-device loss trajectory exactly (global
+    negatives; identical RNG stream)."""
+    import types
+
+    from cl_ica_tpu.cli.kitti_solver import Solver
+    from cl_ica_tpu.parallel import make_mesh
+
+    ds = KittiMasks(path=kitti_root, download=False)  # un-augmented default
+
+    def mk(tag, mesh):
+        args = types.SimpleNamespace(
+            ckpt_dir=str(tmp_path / f"ck{tag}"),
+            output_dir=str(tmp_path / f"out{tag}"),
+            max_iter=10, z_dim=3, num_channel=1, log_step=5, save_step=100,
+            batch_size=16, box_norm=0, lr=1e-3, beta1=0.9, beta2=0.999,
+            p=1, seed=0,
+        )
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        os.makedirs(args.output_dir, exist_ok=True)
+        return Solver(args, ds, mesh=mesh)
+
+    s1 = mk("a", None)
+    s2 = mk("b", make_mesh(8))
+    assert s1.train() is False
+    assert s2.train() is False
+
+    def losses(s):
+        with open(os.path.join(s.output_dir, "log.csv")) as fh:
+            return [float(x) for x in fh.read().splitlines()[1:]]
+
+    l1, l2 = losses(s1), losses(s2)
+    assert len(l1) == len(l2) == 2
+    # cross-replica reduction order drifts ~1e-4/step through Adam's
+    # rsqrt; trajectory-level agreement is the contract
+    np.testing.assert_allclose(l1, l2, rtol=2e-3)
+
+
+def test_kitti_solver_mesh_rejects_indivisible_pairs(kitti_root, tmp_path):
+    import types
+
+    from cl_ica_tpu.cli.kitti_solver import Solver
+    from cl_ica_tpu.parallel import make_mesh
+
+    ds = KittiMasks(path=kitti_root, download=False)
+    args = types.SimpleNamespace(
+        ckpt_dir=str(tmp_path / "ck"), output_dir=str(tmp_path / "out"),
+        max_iter=5, z_dim=3, num_channel=1, log_step=5, save_step=100,
+        batch_size=12, box_norm=0, lr=1e-3, beta1=0.9, beta2=0.999,
+        p=1, seed=0,
+    )
+    with pytest.raises(SystemExit, match="divisible"):
+        Solver(args, ds, mesh=make_mesh(8))

@@ -74,7 +74,10 @@ def build_parser():
                              "mpi3d, kittimasks, natural")
     parser.add_argument("--batch-size", default=64, type=int, help="batch size")
     parser.add_argument("--num-workers", default=2, type=int,
-                        help="dataloader num_workers")
+                        help="dataloader num_workers (parity no-op here: "
+                             "the corpus is device-resident and sampling "
+                             "is fused into the scanned train step, so "
+                             "there is no host dataloader to parallelize)")
     parser.add_argument("--image-size", default=64, type=int,
                         help="image size. now only (64,64) is supported")
     parser.add_argument("--use-writer", action="store_true", default=False,

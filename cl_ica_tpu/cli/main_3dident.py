@@ -689,20 +689,13 @@ def main(argv=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel import (
-            make_mesh,
+            make_dp_tp_mesh,
             make_sharded_3dident_train_step,
             pad_rows_to_multiple,
         )
 
-        mesh_model = (
-            args.mesh_model if args.mesh_model and args.mesh_model > 1 else 0
-        )
-        n_data = args.mesh // mesh_model if mesh_model else args.mesh
-        if mesh_model:
-            mesh = make_mesh(args.mesh, axis_names=("data", "model"),
-                             shape=(n_data, mesh_model))
-        else:
-            mesh = make_mesh(args.mesh)
+        mesh, n_data = make_dp_tp_mesh(args.mesh, args.mesh_model)
+        mesh_model = mesh.shape.get("model", 0)
         if args.batch_size % n_data:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must be divisible by "

@@ -209,6 +209,11 @@ def main(argv=None):
 
     assert not (args.random_search and args.betavae and not args.search_beta)
     assert not ((args.random_search or args.random_seeds) and args.evaluate)
+    if args.evaluate and args.mesh and args.mesh > 1:
+        raise SystemExit(
+            "--mesh covers only training; --evaluate runs the host-side "
+            "metric harness single-device — drop --mesh"
+        )
 
     dataset, batch_pairs, num_channel = return_data(args)
     args.num_channel = num_channel

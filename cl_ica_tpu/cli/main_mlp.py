@@ -316,27 +316,22 @@ def main(argv=None):
             # multi-chip: same scanned contract, but sampling/encoder/
             # similarity rows are sharded over the mesh with global
             # negatives (one ICI all-gather per step)
-            from ..parallel import make_mesh, make_sharded_synthetic_train_step
+            from ..parallel import make_dp_tp_mesh, make_sharded_synthetic_train_step
 
-            mesh_model = (
-                args.mesh_model
-                if args.mesh_model and args.mesh_model > 1 else 0
-            )
+            mesh, _ = make_dp_tp_mesh(args.mesh, args.mesh_model)
             tp_kwargs = {}
-            if mesh_model:
-                mesh = make_mesh(
-                    args.mesh, axis_names=("data", "model"),
-                    shape=(args.mesh // mesh_model, mesh_model),
-                )
+            if "model" in mesh.shape:
+                # shapes only — eval_shape avoids allocating a throwaway
+                # optimizer state just to derive the sharding pytree
                 tp_kwargs = dict(
                     model_axis="model",
-                    example_state=TrainState.create(
-                        params, optimizer.init(params),
-                        jax.random.PRNGKey(0),
+                    example_state=jax.eval_shape(
+                        lambda p: TrainState.create(
+                            p, optimizer.init(p), jax.random.PRNGKey(0)
+                        ),
+                        params,
                     ),
                 )
-            else:
-                mesh = make_mesh(args.mesh)
             make_steps = lambda n_inner: make_sharded_synthetic_train_step(
                 mesh,
                 latent_space.sample_pair,

@@ -13,7 +13,7 @@ unsharded — and the loss mean reduces with a psum. This reproduces
 global-negative semantics exactly while the collective rides ICI.
 """
 
-from .mesh import make_mesh, data_sharding, replicated
+from .mesh import make_mesh, make_dp_tp_mesh, data_sharding, replicated
 from .collective import (
     sharded_lp_neg_lse,
     sharded_lp_simclr_loss,
@@ -30,6 +30,7 @@ from .sharded import (
 
 __all__ = [
     "make_mesh",
+    "make_dp_tp_mesh",
     "data_sharding",
     "replicated",
     "make_sharded_synthetic_train_step",

@@ -38,6 +38,26 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def make_dp_tp_mesh(n_devices: int, model: int = 0):
+    """The drivers' mesh layout: a 1-D 'data' mesh, or a 2-D
+    (data, model) mesh when model > 1 (the --mesh/--mesh-model pair).
+
+    Returns (mesh, n_data) where n_data is the data-axis size callers
+    must check batch divisibility against. Divisibility of n_devices by
+    model is the caller's contract (the CLIs guard it with a clear
+    SystemExit at parse time)."""
+    model = model if model and model > 1 else 0
+    if model:
+        assert n_devices % model == 0, (n_devices, model)
+        n_data = n_devices // model
+        return (
+            make_mesh(n_devices, axis_names=("data", "model"),
+                      shape=(n_data, model)),
+            n_data,
+        )
+    return make_mesh(n_devices), n_devices
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Batch-dim sharding: rows split across the data axis."""
     return NamedSharding(mesh, P(axis))

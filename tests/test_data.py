@@ -378,3 +378,12 @@ def test_kitti_solver_mesh_rejects_indivisible_pairs(kitti_root, tmp_path):
     )
     with pytest.raises(SystemExit, match="divisible"):
         Solver(args, ds, mesh=make_mesh(8))
+
+
+def test_main_kitti_evaluate_rejects_mesh():
+    """--mesh only shards training; --evaluate + --mesh must fail loudly
+    instead of silently evaluating single-device (review r3)."""
+    from cl_ica_tpu.cli import main_kitti
+
+    with pytest.raises(SystemExit, match="covers only training"):
+        main_kitti.main(["--evaluate", "--mesh", "8"])

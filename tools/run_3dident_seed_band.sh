@@ -12,8 +12,10 @@
 # host dispatch core (CLAUDE.md gotcha). Logs + checkpoints land in
 # ${OUT_PREFIX}_s${SEED}/.
 set -u
-DATA=${1:?dataset dir}
+# resolve paths against the INVOKER's cwd before cd-ing to the repo
+DATA=$(realpath "${1:?dataset dir}")
 PREFIX=${2:?output prefix}
+case "$PREFIX" in /*) ;; *) PREFIX="$PWD/$PREFIX" ;; esac
 ITERS=${3:-10000}
 shift 3 2>/dev/null || shift $#
 SEEDS=${@:-0 1 2}
@@ -31,5 +33,12 @@ for seed in $SEEDS; do
     --non-periodic-rotation-and-color --non-periodical-conditional l1 \
     --unsupervised-loss l1 --sigma 0.1 --iterations "$ITERS" \
     --n-log-steps 1000 --seed "$seed" 2>&1 | tee "$name.log"
-  echo "seed $seed exit ${PIPESTATUS[0]}" | tee -a "$name.log"
+  rc=${PIPESTATUS[0]}
+  echo "seed $seed exit $rc" | tee -a "$name.log"
+  if [ "$rc" -ne 0 ]; then
+    # a dead backend (e.g. the TPU relay, EXPERIMENTS r3) would fail
+    # every remaining seed too — stop so the operator can intervene
+    echo "aborting band after failed seed $seed"
+    exit "$rc"
+  fi
 done

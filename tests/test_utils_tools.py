@@ -349,3 +349,85 @@ def test_hlo_ledger_parses_compiled_hlo():
     assert sum(by_op.values()) > 0
     # the matmul must appear under some opcode (dot or a fusion)
     assert any(op in by_op for op in ("dot", "fusion", "custom-call"))
+
+
+def test_simple_image_dataset(tmp_path):
+    from PIL import Image
+
+    from cl_ica_tpu.data.simple_image_dataset import SimpleImageDataset
+
+    rng = np.random.default_rng(0)
+    for name in ("b.png", "a.png", "c.jpg"):
+        Image.fromarray(
+            rng.integers(0, 255, (6, 6, 3), dtype=np.uint8)
+        ).save(tmp_path / name)
+    ds = SimpleImageDataset(str(tmp_path))
+    assert len(ds) == 3
+    # sorted within each extension group (pngs then jpgs per EXTENSIONS)
+    assert [p.split("/")[-1] for p in ds.paths] == ["a.png", "b.png", "c.jpg"]
+    batch = ds.batch([0, 2])
+    assert batch.shape == (2, 6, 6, 3) and batch.dtype == np.uint8
+    with pytest.raises(FileNotFoundError):
+        SimpleImageDataset(str(tmp_path / "empty"))
+
+
+def test_make_synthetic_kitti_contract(tmp_path):
+    """The generator must produce the real corpus's pickle contract
+    (kitti_masks/dataset.py:13-17: latents = com-v, com-h, area)."""
+    from cl_ica_tpu.tools.make_synthetic_kitti import generate, mask_latents
+
+    d = generate(n_sequences=3, frames=5, size=64, seed=0)
+    assert set(d) == {"pedestrians", "pedestrians_latents"}
+    assert len(d["pedestrians"]) == 3
+    for seq, lat in zip(d["pedestrians"], d["pedestrians_latents"]):
+        assert seq.shape == (5, 64, 64) and lat.shape == (5, 3)
+        assert set(np.unique(seq)) <= {0, 1}
+        for frame, l in zip(seq, lat):
+            assert frame.any()  # square never leaves the frame
+            np.testing.assert_allclose(mask_latents(frame), l)
+    # the pickle round-trips through our loader
+    import pickle
+
+    from cl_ica_tpu.data import KittiMasks
+
+    with open(tmp_path / "kitti_peds_v2.pickle", "wb") as fh:
+        pickle.dump(d, fh)
+    ds = KittiMasks(path=str(tmp_path), download=False)
+    assert len(ds) == 3 * (5 - 1)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_generate_3dident_latents_contract(tmp_path, periodic):
+    """raw (model-facing) + renderer-ordered latents.npy contracts
+    (reference generate_clevr_dataset_latents.py:101-160)."""
+    from cl_ica_tpu.tools.generate_3dident_latents import main
+
+    out = tmp_path / ("per" if periodic else "nonper")
+    argv = ["--n-points", "50", "--output-folder", str(out), "--seed", "0"]
+    if not periodic:
+        argv.append("--non-periodic-rotation-and-color")
+    main(argv)
+    raw = np.load(out / "raw_latents.npy")
+    ren = np.load(out / "latents.npy")
+    if periodic:
+        # Box3 x S7 (8-dim sphere embedding): 11 raw dims
+        assert raw.shape == (50, 11)
+        np.testing.assert_allclose(
+            np.linalg.norm(raw[:, 3:], axis=1), 1.0, rtol=1e-5
+        )
+        # renderer layout: pos3 + (rot3 + spot + hues2) 6 + bg hue = 10
+        assert ren.shape == (50, 10)
+        # angles: all but the sphere's last in [0, 2pi]
+        assert ren[:, 3:9].min() >= 0.0 and ren[:, 3:9].max() <= 2 * np.pi + 1e-5
+        # positions scaled to +-3, z lifted to [0, 3]
+        assert abs(ren[:, :2]).max() <= 3.0 + 1e-6
+        assert ren[:, 2].min() >= 0.0 and ren[:, 2].max() <= 3.0 + 1e-6
+    else:
+        assert raw.shape == (50, 10)
+        assert abs(raw).max() <= 1.0 + 1e-6
+        assert ren.shape == (50, 10)
+        # angles = raw * pi/2, positions = raw * 3
+        np.testing.assert_allclose(ren[:, :3], raw[:, :3] * 3, rtol=1e-6)
+        np.testing.assert_allclose(
+            ren[:, 3:9], raw[:, 3:9] * (np.pi / 2), rtol=1e-6
+        )

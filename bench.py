@@ -44,10 +44,15 @@ def main():
     # with a minimal-residual custom VJP — byte-equal to flax BN on
     # this net (EXPERIMENTS r3 ledger: the step is at the HBM floor).
     fused = os.environ.get("CL_ICA_BENCH_STEM", "") == "fused"
+    # CL_ICA_BENCH_NORM overrides the BN flavor (e.g. 'minres8' = the
+    # sub-bf16 float8-residual variant, ops/bn_minres8.py).
+    norm_kind = os.environ.get(
+        "CL_ICA_BENCH_NORM", "fast" if fused else "minres"
+    )
     model = ResNet18(
         num_classes=n_latents,
         dtype=jnp.bfloat16,
-        norm_kind="fast" if fused else "minres",
+        norm_kind=norm_kind,
         fused_stem_pool=fused,
     )
     variables = jax.jit(model.init)(

@@ -113,11 +113,15 @@ def parse_args(argv=None):
                         help="bfloat16 compute in the encoder backbone "
                              "(MXU throughput; params stay fp32)")
     parser.add_argument("--norm-kind", default="minres",
-                        choices=("minres", "fast", "batch"),
+                        choices=("minres", "minres8", "fast", "batch"),
                         help="Encoder BatchNorm flavor. 'minres' "
                              "(default, torch-parity math) since r3; "
-                             "pass 'batch' to load checkpoints saved "
-                             "under the pre-r3 flax nn.BatchNorm naming")
+                             "'minres8' additionally stores the BN "
+                             "backward residuals in float8 (the "
+                             "sub-bf16 probe, measured byte-neutral "
+                             "on v5e — ops/bn_minres8.py); pass 'batch' "
+                             "to load checkpoints saved under the "
+                             "pre-r3 flax nn.BatchNorm naming")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of the training "
                              "loop into this directory (TensorBoard/XProf).")
@@ -179,6 +183,12 @@ def parse_args(argv=None):
             "--fused-stem forces the FastBatchNorm module naming, so it "
             "cannot load the pre-r3 nn.BatchNorm checkpoints that "
             "--norm-kind batch exists for; drop one of the two flags"
+        )
+    if args.fused_stem and args.norm_kind == "minres8":
+        raise SystemExit(
+            "--fused-stem forces norm-kind 'fast' throughout the "
+            "backbone, which would silently ignore the requested "
+            "float8 residuals; drop one of the two flags"
         )
     if args.save_model is not None:
         assert os.path.exists(os.path.dirname(args.save_model) or "."), \

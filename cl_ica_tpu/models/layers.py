@@ -169,6 +169,13 @@ class MinResBN(nn.Module):
     block's residual add before the ReLU. Eval mode is the plain
     composition. The batch mean/var used for running statistics are
     non-differentiable (stop_gradient — see bn_minres docstring).
+
+    ``residuals_f8=True`` swaps in the ``ops.bn_minres8`` variants:
+    the backward residual is the normalized activation quantized to
+    float8_e4m3 (forward unchanged bit-for-bit; gradients carry ~3%
+    per-element rounding noise — see ops/bn_minres8.py for the byte
+    accounting and precision contract). Opt-in via
+    ``ResNet(norm_kind='minres8')``.
     """
 
     use_running_average: bool = False
@@ -177,12 +184,16 @@ class MinResBN(nn.Module):
     act: str = "relu"
     scale_init: object = nn.initializers.ones
     bias_init: object = nn.initializers.zeros
+    residuals_f8: bool = False
 
     @nn.compact
     def __call__(self, x, res=None):
         import jax
 
-        from ..ops import bn_minres
+        if self.residuals_f8:
+            from ..ops import bn_minres8 as bn_minres
+        else:
+            from ..ops import bn_minres
 
         c = x.shape[-1]
         scale = self.param("scale", self.scale_init, (c,), jnp.float32)

@@ -115,6 +115,10 @@ class ResNet(nn.Module):
     #           custom VJP fusing BN+ReLU(+residual add): drops the
     #           pre-activation tensor from every block's residual set
     #           (ops/bn_minres.py — the round-3 HBM byte-floor attack)
+    # 'minres8': minres with the saved activation quantized to
+    #           float8_e4m3 (ops/bn_minres8.py) — the sub-bf16 residual
+    #           probe, measured byte-NEUTRAL on v5e (XLA remats the
+    #           quantize into backward; EXPERIMENTS). Opt-in record.
     # 'none':   no normalization (diagnostic)
     norm_kind: str = "batch"
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM traffic
@@ -150,7 +154,7 @@ class ResNet(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
             )
-        elif self.norm_kind == "minres":
+        elif self.norm_kind in ("minres", "minres8"):
             from .layers import MinResBN
 
             norm = partial(
@@ -158,6 +162,7 @@ class ResNet(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                residuals_f8=self.norm_kind == "minres8",
             )
         else:
             norm = partial(
@@ -229,7 +234,7 @@ class ResNet(nn.Module):
                 epsilon=1e-5,
                 name="bn_init",
             )(x)
-        elif self.norm_kind == "minres" and self.stem_pool == "argmax":
+        elif self.norm_kind in ("minres", "minres8") and self.stem_pool == "argmax":
             from .layers import MinResBNPool
 
             # BN+ReLU+maxpool as ONE custom VJP saving an int8 argmax
@@ -245,7 +250,7 @@ class ResNet(nn.Module):
                 epsilon=1e-5,
                 name="bn_init",
             )(x)
-        elif self.norm_kind == "minres":
+        elif self.norm_kind in ("minres", "minres8"):
             x = norm(name="bn_init")(x)  # MinResBN: BN+ReLU in one VJP
             x = nn.max_pool(
                 x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
@@ -267,7 +272,7 @@ class ResNet(nn.Module):
                     strides=strides,
                     conv=conv,
                     norm=norm,
-                    fused_bn=self.norm_kind == "minres",
+                    fused_bn=self.norm_kind in ("minres", "minres8"),
                 )(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = nn.Dense(self.num_classes, dtype=self.dtype)(x)

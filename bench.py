@@ -45,10 +45,19 @@ def main():
     # this net (EXPERIMENTS r3 ledger: the step is at the HBM floor).
     fused = os.environ.get("CL_ICA_BENCH_STEM", "") == "fused"
     # CL_ICA_BENCH_NORM overrides the BN flavor (e.g. 'minres8' = the
-    # sub-bf16 float8-residual variant, ops/bn_minres8.py).
+    # sub-bf16 float8-residual variant, ops/bn_minres8.py). Validated
+    # loudly: a typo silently benchmarking flax nn.BatchNorm would
+    # corrupt numbers headed for EXPERIMENTS.md.
     norm_kind = os.environ.get(
         "CL_ICA_BENCH_NORM", "fast" if fused else "minres"
     )
+    if norm_kind not in ("minres", "minres8", "fast", "batch"):
+        raise SystemExit(f"CL_ICA_BENCH_NORM={norm_kind!r}: unknown kind")
+    if fused and norm_kind != "fast":
+        raise SystemExit(
+            "CL_ICA_BENCH_STEM=fused forces norm_kind='fast' throughout "
+            f"the backbone; unset CL_ICA_BENCH_NORM={norm_kind!r}"
+        )
     model = ResNet18(
         num_classes=n_latents,
         dtype=jnp.bfloat16,

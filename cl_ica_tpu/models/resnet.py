@@ -234,7 +234,17 @@ class ResNet(nn.Module):
                 epsilon=1e-5,
                 name="bn_init",
             )(x)
-        elif self.norm_kind in ("minres", "minres8") and self.stem_pool == "argmax":
+        elif self.norm_kind == "minres8" and self.stem_pool == "argmax":
+            # MinResBNPool has no float8-residual variant: the stem —
+            # the single largest activation — would silently keep bf16
+            # residuals while the caller asked for f8 (same
+            # silent-ignore class as fused_stem_pool + 'none' above)
+            raise ValueError(
+                "stem_pool='argmax' does not support norm_kind='minres8' "
+                "(the argmax-pool stem keeps bf16 residuals); use "
+                "norm_kind='minres' or the default stem_pool='xla'"
+            )
+        elif self.norm_kind == "minres" and self.stem_pool == "argmax":
             from .layers import MinResBNPool
 
             # BN+ReLU+maxpool as ONE custom VJP saving an int8 argmax

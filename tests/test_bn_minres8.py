@@ -144,5 +144,19 @@ def test_resnet_minres8_matches_minres():
 def test_cli_rejects_fused_stem_with_minres8():
     from cl_ica_tpu.cli.main_3dident import parse_args
 
-    with pytest.raises(SystemExit):
-        parse_args(["--fused-stem", "--norm-kind", "minres8"])
+    # --offline-dataset satisfies the required arg so the SystemExit
+    # comes from the guard under test, not argparse's missing-argument
+    # error (match= pins it)
+    with pytest.raises(SystemExit, match="float8 residuals"):
+        parse_args([
+            "--offline-dataset", "/tmp",
+            "--fused-stem", "--norm-kind", "minres8",
+        ])
+
+
+def test_resnet_rejects_argmax_stem_with_minres8():
+    from cl_ica_tpu.models.resnet import ResNet18
+
+    m = ResNet18(num_classes=5, norm_kind="minres8", stem_pool="argmax")
+    with pytest.raises(ValueError, match="argmax"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))

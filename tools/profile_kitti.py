@@ -72,7 +72,15 @@ def main():
     s = Solver(sargs, ds)
 
     arrays = s.device_sampler.arrays
-    lowered = s._chunk.lower(s.params, s.opt_state, s.key, arrays)
+    # under CL_ICA_TPU_DEBUG the solver wraps the jitted chunk in a
+    # checkify driver (a plain function with no .lower); profile the
+    # underlying jit in that case. NOTE: jax.jit objects carry a
+    # __wrapped__ too (the raw Python fn), so unwrap only when .lower
+    # is absent.
+    chunk_jit = s._chunk
+    while not hasattr(chunk_jit, "lower"):
+        chunk_jit = chunk_jit.__wrapped__
+    lowered = chunk_jit.lower(s.params, s.opt_state, s.key, arrays)
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
@@ -80,13 +88,14 @@ def main():
     gbytes = ca.get("bytes accessed", float("nan"))
 
     params, opt, key = s.params, s.opt_state, s.key
-    # warmup (compile already done via .compile(); one execution to
-    # settle buffers)
-    params, opt, key, losses, _ = s._chunk(params, opt, key, arrays)
+    # run the AOT executable directly — calling s._chunk would re-trace
+    # and re-compile through the jit dispatch path (remote compiles are
+    # ~minutes on this backend)
+    params, opt, key, losses, _ = compiled(params, opt, key, arrays)
     _ = float(np.asarray(losses)[-1])
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        params, opt, key, losses, _ = s._chunk(params, opt, key, arrays)
+        params, opt, key, losses, _ = compiled(params, opt, key, arrays)
     _ = float(np.asarray(losses)[-1])
     dt = (time.perf_counter() - t0) / args.iters
 

@@ -107,6 +107,12 @@ def parse_args(argv=None):
     parser.add_argument("--n-steps", type=int, default=100001)
     parser.add_argument("--resume-training", action="store_true")
     # TPU-native additions (not in the reference flag set):
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute in the encoder Linear "
+                             "stack (2x MXU issue rate; params, the "
+                             "constraint head, mixing and loss stay "
+                             "fp32). Measured quality-neutral at the "
+                             "headline configs (EXPERIMENTS).")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of the training "
                              "loop into this directory (TensorBoard/XProf).")
@@ -291,6 +297,7 @@ def main(argv=None):
             layers=[args.n * 10, args.n * 50, args.n * 50,
                     args.n * 50, args.n * 50, args.n * 10],
             output_normalization=output_normalization,
+            dtype=jnp.bfloat16 if args.bf16 else None,
         )
         root_key, k_init = jax.random.split(root_key)
         params = f.init(k_init, jnp.zeros((2, args.n)))

@@ -32,10 +32,15 @@ def _torch_linear_init(scale_by_fan_in=True):
 class TorchLinear(nn.Module):
     """Dense layer with PyTorch-default initialization (both kernel and
     bias ~ U(±1/sqrt(fan_in))), for init-distribution parity with the
-    reference encoders."""
+    reference encoders.
+
+    dtype: optional COMPUTE dtype (params stay fp32 — same convention
+    as the ResNet backbone's `dtype`); bfloat16 doubles MXU issue rate
+    on TPU for the wide hidden layers."""
 
     features: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -46,6 +51,9 @@ class TorchLinear(nn.Module):
             lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
             (fan_in, self.features),
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = x @ kernel
         if self.use_bias:
             bias = self.param(
@@ -53,6 +61,8 @@ class TorchLinear(nn.Module):
                 lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
                 (self.features,),
             )
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
             y = y + bias
         return y
 
@@ -70,13 +80,17 @@ class MLPEncoder(nn.Module):
     layer_normalization: Optional[str] = None
     output_normalization: Optional[str] = None
     output_normalization_kwargs: Any = None
+    # compute dtype for the Linear stack (params fp32; the constraint
+    # head and everything downstream run fp32 — same convention as the
+    # ResNet backbone's `dtype`). main_mlp exposes it as --bf16.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kwargs = dict(self.output_normalization_kwargs or {})
         widths = list(self.hidden) + [self.n_out]
         for i, w in enumerate(widths):
-            x = TorchLinear(w)(x)
+            x = TorchLinear(w, dtype=self.dtype)(x)
             if i < len(widths) - 1:
                 if self.layer_normalization == "bn":
                     x = nn.BatchNorm(use_running_average=not train)(x)
@@ -84,6 +98,7 @@ class MLPEncoder(nn.Module):
                     # GroupNorm(1, C) == LayerNorm over features
                     x = nn.GroupNorm(num_groups=1)(x)
                 x = nn.leaky_relu(x)  # negative_slope 0.01, torch default
+        x = x.astype(jnp.float32)  # head + loss in fp32
 
         if self.output_normalization == "fixed_sphere":
             x = RescaleLayer(fixed_r=True, **kwargs)(x)
@@ -105,8 +120,13 @@ def get_mlp(
     layer_normalization: Optional[str] = None,
     output_normalization: Optional[str] = None,
     output_normalization_kwargs=None,
+    dtype: Any = None,
 ) -> MLPEncoder:
-    """Factory mirroring reference encoders.get_mlp (encoders.py:10-85)."""
+    """Factory mirroring reference encoders.get_mlp (encoders.py:10-85).
+
+    dtype: optional compute dtype for the Linear stack (e.g.
+    jnp.bfloat16 for MXU throughput; params and the constraint head
+    stay fp32)."""
     if len(layers) == 0:
         assert n_in == n_out, "Network with no layers must have matching n_in/n_out"
     return MLPEncoder(
@@ -115,4 +135,5 @@ def get_mlp(
         layer_normalization=layer_normalization,
         output_normalization=output_normalization,
         output_normalization_kwargs=output_normalization_kwargs,
+        dtype=dtype,
     )

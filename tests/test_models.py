@@ -193,3 +193,24 @@ def test_fast_batchnorm_matches_torch_semantics():
         {"params": v["params"], "batch_stats": mut["batch_stats"]}, x
     )
     np.testing.assert_allclose(np.asarray(ye), yte, atol=1e-5)
+
+
+def test_mlp_bf16_compute_dtype():
+    """get_mlp(dtype=bf16): params stay fp32, the Linear stack computes
+    in bf16, the head returns fp32, and outputs track the fp32 model to
+    bf16 rounding (same params — dtype is compute-only, so checkpoints
+    interchange). main_mlp exposes this as --bf16."""
+    import jax
+
+    n = 4
+    f32 = get_mlp(n, n, [n * 10, n * 20])
+    b16 = get_mlp(n, n, [n * 10, n * 20], dtype=jnp.bfloat16)
+    params = f32.init(jax.random.PRNGKey(0), jnp.zeros((2, n)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, n), jnp.float32)
+    y32 = f32.apply(params, x)
+    y16 = b16.apply(params, x)  # identical param tree
+    assert y16.dtype == jnp.float32
+    leaves = jax.tree.leaves(params)
+    assert all(p.dtype == jnp.float32 for p in leaves)
+    err = float(jnp.linalg.norm(y16 - y32) / jnp.linalg.norm(y32))
+    assert err < 0.05, err

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--p", type=float, default=2.0)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 Linear stack (main_mlp --bf16)")
     args = ap.parse_args()
 
     import optax
@@ -60,13 +62,15 @@ def main():
         n=cli.n, n_layers=cli.n_mixing_layer, act_fct=cli.act_fct,
         cond_thresh_ratio=0.0, n_iter_cond_thresh=25000, rng=np_rng,
     )
+    import jax.numpy as jnp
+
     f = get_mlp(
         n_in=cli.n, n_out=cli.n,
         layers=[cli.n * 10, cli.n * 50, cli.n * 50,
                 cli.n * 50, cli.n * 50, cli.n * 10],
         output_normalization="fixed_sphere" if cli.p == 0 else None,
+        dtype=jnp.bfloat16 if args.bf16 else None,
     )
-    import jax.numpy as jnp
 
     params = f.init(jax.random.PRNGKey(1), jnp.zeros((2, cli.n)))
     optimizer = optax.adam(cli.lr)

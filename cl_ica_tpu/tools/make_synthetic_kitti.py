@@ -89,8 +89,13 @@ def main(argv=None):
                     args.seed)
     os.makedirs(args.output_dir, exist_ok=True)
     path = os.path.join(args.output_dir, "kitti_peds_v2.pickle")
-    with open(path, "wb") as fh:
+    # Atomic write: an interrupt mid-dump must not leave a truncated
+    # pickle that existence checks (tools/rehydrate_evidence.sh) treat
+    # as a finished corpus.
+    tmp_path = path + ".tmp"
+    with open(tmp_path, "wb") as fh:
         pickle.dump(data, fh)
+    os.replace(tmp_path, path)
     n_pairs = sum(len(s) - 1 for s in data["pedestrians"])
     print(f"wrote {path}: {args.n_sequences} sequences, "
           f"{n_pairs} trainable pairs")

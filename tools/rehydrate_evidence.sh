@@ -14,7 +14,7 @@
 #            3k steps (peak band 0.974 +/- 0.0003 across seeds @2-3k).
 #   --full:  also the complete 10k trajectories for seeds 0 1 2
 #            (~1h05m per seed; the full EXPERIMENTS seed band).
-set -eu
+set -eu -o pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH=${PYTHONPATH:-$PWD}
 FULL=${1:-}
@@ -25,7 +25,10 @@ if [ ! -f fixtures/kitti_synth/kitti_peds_v2.pickle ]; then
     --output-dir fixtures/kitti_synth --seed 0
 fi
 
-if [ ! -f fixtures/td_nonper_250k_64/raw_latents.npy ]; then
+# Gate on the packed store: it is the LAST-written, atomically-renamed
+# artifact (raw_latents.npy lands first, before the ~7-min render), so
+# an interrupted generation re-runs instead of skipping.
+if [ ! -f fixtures/td_nonper_250k_64/images_packed_64x64.u8 ]; then
   echo "=== 3DIdent true-N corpus (250k points, 64^2, seed 0; ~7 min, ~3 GB)"
   python -u -m cl_ica_tpu.tools.make_synthetic_3dident \
     --output-folder fixtures/td_nonper_250k_64 \

@@ -107,6 +107,16 @@ def parse_args(argv=None):
     parser.add_argument("--n-steps", type=int, default=100001)
     parser.add_argument("--resume-training", action="store_true")
     # TPU-native additions (not in the reference flag set):
+    parser.add_argument("--seeds", type=int, default=0,
+                        help="Train N independent seeds (base --seed, "
+                             "base+1, ...) in lockstep via one vmapped "
+                             "step — params, optimizer states, RNG "
+                             "streams and the per-seed frozen mixings "
+                             "all carry a leading seed axis. The MLP "
+                             "path is latency-bound (13%% of the matmul "
+                             "ceiling), so S seeds cost ~1x the wall of "
+                             "one. The reference runs seeds serially "
+                             "(main_mlp.py:132-135). 0/1 = single run.")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute in the encoder Linear "
                              "stack (2x MXU issue rate; params, the "
@@ -128,6 +138,15 @@ def parse_args(argv=None):
                              "kernels column-sharded (megatron-style) "
                              "via parallel.sharded. 0/1 = pure DP.")
     args = parser.parse_args(argv)
+    if args.seeds and args.seeds > 1:
+        if args.mesh and args.mesh > 1:
+            raise SystemExit(
+                "--seeds (vmapped ensemble) and --mesh (sharded step) "
+                "are not composable yet; run the ensemble single-chip"
+            )
+        if args.resume_training:
+            raise SystemExit("--resume-training is per-run; not "
+                             "supported with --seeds")
     if args.mesh_model and args.mesh_model > 1:
         if not (args.mesh and args.mesh > 1):
             raise SystemExit("--mesh-model requires --mesh N")
@@ -227,8 +246,254 @@ def evaluate_scores(latent_space, h_fn, key, n_samples=4096):
     return lin, perm
 
 
+def run_ensemble(args):
+    """Train args.seeds independent seeds in one vmapped program.
+
+    Per-seed flow mirrors main() exactly — same RNG split order (root
+    key per seed, k_init / k_train / per-eval splits), same per-seed
+    frozen mixing g built from numpy default_rng(seed), same phase
+    structure — so lane i reproduces a serial run with --seed base+i
+    (verified in tests/test_ensemble.py). Returns per-seed final
+    (linear, perm) score lists ordered like the seed list."""
+    from ..models import stack_mixings
+    from ..train import make_ensemble_synthetic_train_steps
+
+    S = args.seeds
+    logger = MetricsLogger(log_dir=args.save_dir or None, print_to_stdout=False)
+    if args.save_dir:
+        logger.log_args(vars(args))
+    base = args.seed if args.seed is not None else int(time.time()) % 2**31
+    seed_list = [base + i for i in range(S)]
+    print(f"Ensemble over seeds: {seed_list}")
+
+    latent_space = build_latent_space(args)
+    if args.p:
+        loss = LpSimCLRLoss(p=args.p, tau=args.tau, simclr_compatibility_mode=True)
+    else:
+        loss = SimCLRLoss(normalize=False, tau=args.tau)
+
+    gs = [
+        construct_invertible_mlp(
+            n=args.n,
+            n_layers=args.n_mixing_layer,
+            act_fct=args.act_fct,
+            cond_thresh_ratio=0.0,
+            n_iter_cond_thresh=25000,
+            rng=np.random.default_rng(s),
+        )
+        for s in seed_list
+    ]
+    weights_stack, mixing_apply = stack_mixings(gs)
+    root_keys = [jax.random.PRNGKey(s) for s in seed_list]
+
+    def next_key(i):
+        root_keys[i], sub = jax.random.split(root_keys[i])
+        return sub
+
+    # identity-solution sanity per seed: one compiled forward shared by
+    # all lanes (weights are an argument, not a constant)
+    g_fwd = jax.jit(mixing_apply)
+    for i, s in enumerate(seed_list):
+        lin0, perm0 = evaluate_scores(
+            latent_space,
+            lambda z: g_fwd(jax.tree.map(lambda a: a[i], weights_stack), z),
+            jax.random.PRNGKey(s + 1),
+        )
+        print(f"[seed {s}] Id. Lin. Disentanglement: {lin0:.4f}\t"
+              f"Id. Perm. Disentanglement: {perm0:.4f}")
+
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        for i, s in enumerate(seed_list):
+            np.savez(os.path.join(args.save_dir, f"g_s{s}.npz"),
+                     *[np.asarray(w) for w in gs[i].weights])
+
+    if args.only_unsupervised:
+        test_list = [False]
+    elif args.only_supervised:
+        test_list = [True]
+    else:
+        test_list = [True, False]
+
+    if args.box_norm:
+        output_normalization = "learnable_box"
+    elif args.sphere_norm:
+        output_normalization = "learnable_sphere"
+    elif args.p == 0:
+        output_normalization = "fixed_sphere"
+    else:
+        output_normalization = None
+
+    marginal_jit = _jit_marginal(latent_space)
+    final_scores = None
+
+    for test in test_list:
+        print(f"supervised test: {test}")
+        f = get_mlp(
+            n_in=args.n,
+            n_out=args.n,
+            layers=[args.n * 10, args.n * 50, args.n * 50,
+                    args.n * 50, args.n * 50, args.n * 10],
+            output_normalization=output_normalization,
+            dtype=jnp.bfloat16 if args.bf16 else None,
+        )
+        k_inits = jnp.stack([next_key(i) for i in range(S)])
+        params_stack = jax.vmap(lambda k: f.init(k, jnp.zeros((2, args.n))))(
+            k_inits
+        )
+        phase_steps = args.n_steps * (args.more_unsupervised if not test else 1)
+        lr = (
+            optax.cosine_decay_schedule(args.lr, max(phase_steps, 1))
+            if args.lr_cosine else args.lr
+        )
+        optimizer = (
+            optax.adamw(lr, weight_decay=args.weight_decay)
+            if args.weight_decay > 0 else optax.adam(lr)
+        )
+        k_trains = jnp.stack([next_key(i) for i in range(S)])
+        states = jax.vmap(
+            lambda p, k: TrainState.create(p, optimizer.init(p), k)
+        )(params_stack, k_trains)
+
+        make_steps = lambda n_inner: make_ensemble_synthetic_train_steps(
+            latent_space.sample_pair,
+            weights_stack,
+            mixing_apply,
+            lambda p, x: f.apply(p, x),
+            loss,
+            optimizer,
+            args.batch_size,
+            n_inner=n_inner,
+            supervised=test,
+        )
+        step_1 = make_steps(1)
+        step_chunk = make_steps(args.n_log_steps)
+        # eval forward shared by all lanes: h_i(z) = f(params_i, g_i(z))
+        eval_fwd = jax.jit(lambda p, w, z: f.apply(p, mixing_apply(w, z)))
+
+        losses = []  # list of (S,) per-step losses
+        throughput = Throughput()
+
+        def run_chunk(fn, n):
+            nonlocal states
+            states, metrics = fn(states)
+            m = np.asarray(metrics["loss"]).reshape(-1, S)
+            losses.extend(list(m))
+            throughput.update(args.batch_size * n * S)
+
+        def do_eval():
+            lins, perms = [], []
+            for i in range(S):
+                z = marginal_jit(next_key(i), 4096)
+                hz = np.asarray(eval_fwd(
+                    jax.tree.map(lambda a: a[i], states.params),
+                    jax.tree.map(lambda a: a[i], weights_stack),
+                    z,
+                ))
+                zn = np.asarray(z)
+                (lin, _), _ = linear_disentanglement(zn, hz, mode="r2")
+                (perm, _), _ = permutation_disentanglement(
+                    zn, hz, mode="pearson", solver="munkres", rescaling=True
+                )
+                lins.append(lin)
+                perms.append(perm)
+            step = len(losses)
+            last = losses[-1]
+            mean_last = np.mean(np.stack(losses[-args.n_log_steps:]), axis=0)
+            pps = throughput.pairs_per_sec
+            print(
+                f"Step: {step} \t",
+                f"<Loss>: {np.mean(mean_last):.4f} \t",
+                f"Lin. Disentanglement: {np.mean(lins):.4f} ± {np.std(lins):.4f} \t",
+                f"Perm. Disentanglement: {np.mean(perms):.4f} ± {np.std(perms):.4f} \t",
+                "per-seed MCC: [" + " ".join(f"{p:.4f}" for p in perms) + "]"
+                + (f" \t pairs/s: {pps:.0f}" if pps else ""),
+                flush=True,
+            )
+            for i, s in enumerate(seed_list):
+                logger.log(
+                    step,
+                    {
+                        "seed": s,
+                        "loss": float(last[i]),
+                        "mean_loss": float(mean_last[i]),
+                        "linear_disentanglement": lins[i],
+                        "perm_disentanglement": perms[i],
+                        "pairs_per_sec": pps or 0.0,
+                        "supervised": float(test),
+                    },
+                )
+            return lins, perms
+
+        n_steps = args.n_steps if test else args.n_steps * args.more_unsupervised
+        with trace_context(args.profile_dir):
+            run_chunk(step_1, 1)
+            do_eval()
+            while len(losses) + args.n_log_steps <= n_steps:
+                run_chunk(step_chunk, args.n_log_steps)
+                do_eval()
+            while len(losses) < n_steps:
+                run_chunk(step_1, 1)
+        if len(losses) % args.n_log_steps != 1:
+            do_eval()
+
+        if args.save_dir:
+            import pickle
+
+            tag = "sup" if test else "unsup"
+            for i, s in enumerate(seed_list):
+                with open(os.path.join(args.save_dir, f"{tag}_f_s{s}.pkl"),
+                          "wb") as fh:
+                    pickle.dump(
+                        jax.tree.map(lambda a: np.asarray(a[i]), states.params),
+                        fh,
+                    )
+            # one Orbax artifact holding the whole stacked ensemble state
+            mgr = CheckpointManager(os.path.join(args.save_dir, f"ckpt_{tag}"))
+            mgr.save(states)
+            mgr.close()
+
+        final_params = states.params
+        final_eval_fwd = eval_fwd
+
+    # final per-seed mean/std over num_eval_batches (main_mlp.py:383-416)
+    sample_pair_jit = jax.jit(
+        lambda k: latent_space.sample_pair(k, args.batch_size)
+    )
+    final_linear = [[] for _ in range(S)]
+    final_perm = [[] for _ in range(S)]
+    for _ in range(args.num_eval_batches):
+        for i in range(S):
+            z1, _ = sample_pair_jit(next_key(i))
+            z1_rec = np.asarray(final_eval_fwd(
+                jax.tree.map(lambda a: a[i], final_params),
+                jax.tree.map(lambda a: a[i], weights_stack),
+                z1,
+            ))
+            z1 = np.asarray(z1)
+            (lin, _), _ = linear_disentanglement(z1, z1_rec, mode="r2")
+            (perm, _), _ = permutation_disentanglement(
+                z1, z1_rec, mode="pearson", solver="munkres", rescaling=True
+            )
+            final_linear[i].append(lin)
+            final_perm[i].append(perm)
+    per_seed_lin = [float(np.mean(v)) for v in final_linear]
+    per_seed_perm = [float(np.mean(v)) for v in final_perm]
+    for i, s in enumerate(seed_list):
+        print(f"[seed {s}] linear mean: {per_seed_lin[i]} "
+              f"std: {np.std(final_linear[i])}")
+        print(f"[seed {s}] perm mean: {per_seed_perm[i]} "
+              f"std: {np.std(final_perm[i])}")
+    print(f"linear mean: {np.mean(per_seed_lin)} std: {np.std(per_seed_lin)}")
+    print(f"perm mean: {np.mean(per_seed_perm)} std: {np.std(per_seed_perm)}")
+    logger.close()
+    return per_seed_lin, per_seed_perm
+
+
 def main(argv=None):
     args = parse_args(argv)
+    if args.seeds and args.seeds > 1:
+        return run_ensemble(args)
     # structured metrics (stdout prints keep the reference's format; the
     # CSV/args.json artifacts land in --save-dir when given)
     logger = MetricsLogger(log_dir=args.save_dir or None, print_to_stdout=False)

@@ -11,7 +11,11 @@ from .layers import (
     smooth_leaky_relu,
 )
 from .mlp import MLPEncoder, get_mlp
-from .invertible import InvertibleMLP, construct_invertible_mlp
+from .invertible import (
+    InvertibleMLP,
+    construct_invertible_mlp,
+    stack_mixings,
+)
 from .conv import ConvDecoder64, ConvEncoder64
 from .resnet import ResNet, ResNet18, ResNet50, ResNet101, ResNet152
 from .flows import CouplingFlow, FrozenFlow, get_flow, construct_invertible_flow
@@ -25,6 +29,7 @@ __all__ = [
     "get_mlp",
     "InvertibleMLP",
     "construct_invertible_mlp",
+    "stack_mixings",
     "ConvEncoder64",
     "ConvDecoder64",
     "ResNet",

@@ -32,6 +32,20 @@ _ACTS = {
 }
 
 
+def apply_mixing_weights(weights, x, act_name: str):
+    """Functional forward of an InvertibleMLP given its weight tuple.
+
+    Pure function of (weights, x) so it can be vmapped over a stacked
+    leading seed axis (see stack_mixings) — the ensemble trainer maps
+    per-seed frozen mixings through one XLA program."""
+    act = _ACTS[act_name]
+    for i, w in enumerate(weights):
+        x = x @ w.T
+        if i < len(weights) - 1:
+            x = act(x)
+    return x
+
+
 class InvertibleMLP:
     """Frozen n→n MLP mixing. Callable on (B, n) arrays; jit-safe.
 
@@ -42,18 +56,31 @@ class InvertibleMLP:
     def __init__(self, weights: List[np.ndarray], act: str):
         self.weights = tuple(jnp.asarray(w, dtype=jnp.float32) for w in weights)
         self.act_name = act
-        self._act = _ACTS[act]
 
     def __call__(self, x):
-        for i, w in enumerate(self.weights):
-            x = x @ w.T
-            if i < len(self.weights) - 1:
-                x = self._act(x)
-        return x
+        return apply_mixing_weights(self.weights, x, self.act_name)
 
     @property
     def n_layers(self) -> int:
         return len(self.weights)
+
+
+def stack_mixings(gs: List["InvertibleMLP"]):
+    """Stack S frozen mixings into one pytree with a leading (S,) axis.
+
+    Returns (stacked_weights, apply_fn) where apply_fn(weights_i, x)
+    reproduces gs[i](x) when given lane i's slice — the contract
+    jax.vmap needs to run per-seed mixings inside the ensemble step.
+    All mixings must share depth and activation."""
+    acts = {g.act_name for g in gs}
+    depths = {g.n_layers for g in gs}
+    if len(acts) != 1 or len(depths) != 1:
+        raise ValueError("stack_mixings requires equal depth and activation")
+    act_name = acts.pop()
+    stacked = tuple(
+        jnp.stack([g.weights[l] for g in gs]) for l in range(depths.pop())
+    )
+    return stacked, lambda w, x: apply_mixing_weights(w, x, act_name)
 
 
 def _l2_normalize_columns(a: np.ndarray) -> np.ndarray:

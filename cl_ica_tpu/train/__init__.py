@@ -14,6 +14,7 @@ from .state import TrainState
 from .trainer import (
     make_synthetic_train_step,
     make_scanned_synthetic_train_steps,
+    make_ensemble_synthetic_train_steps,
     make_data_train_step,
     Throughput,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "TrainState",
     "make_synthetic_train_step",
     "make_scanned_synthetic_train_steps",
+    "make_ensemble_synthetic_train_steps",
     "make_data_train_step",
     "Throughput",
     "CheckpointManager",

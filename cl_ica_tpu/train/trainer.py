@@ -186,6 +186,80 @@ def make_scanned_synthetic_train_steps(
     return make_chunked_steps(jit_scan, n_inner, MAX_SCAN_LEN)
 
 
+def make_ensemble_synthetic_train_steps(
+    sample_pair: Callable,
+    mixing_weights,  # pytree stacked over a leading seed axis S
+    mixing_apply: Callable,  # (weights_for_one_seed, z) -> x
+    apply_encoder: Callable,
+    loss_fn,
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    n_inner: int,
+    supervised: bool = False,
+    donate: bool = True,
+):
+    """Train S independent seeds in lockstep: vmap over the TrainState.
+
+    The MLP-mixing experiment is latency/HBM-bound, not compute-bound
+    (13% of the matmul ceiling, EXPERIMENTS r3), so batching S seeds'
+    parameters, optimizer states, RNG streams AND their per-seed frozen
+    mixings through one vmapped step trains S runs for roughly the wall
+    of one. The paper's protocol is itself multi-seed (the reference
+    seeds whole runs at main_mlp.py:132-135 and launches them serially);
+    this factory makes the seed axis a device axis instead.
+
+    Every leaf of the TrainState (params, opt_state, step, key) and of
+    mixing_weights carries a leading (S,) axis. Per-seed RNG streams are
+    split inside the vmapped step exactly as the single-seed factories
+    do, so each lane's trajectory is the same program as a serial run
+    with that lane's seed (vmap's batching rule for the rejection /
+    vMF while_loops freezes finished lanes with lax.select, preserving
+    per-lane sampling streams bit-for-bit). Verified against serial
+    runs in tests/test_ensemble.py.
+
+    Returns step(states) -> (states, metrics) with metrics of shape
+    (n_inner, S)."""
+
+    def one_step(state: TrainState, weights):
+        key, k_data = jax.random.split(state.key)
+        z1, z2 = sample_pair(k_data, batch_size)
+        z3 = jnp.roll(z1, 1, axis=0)
+
+        def objective(params):
+            h = lambda z: apply_encoder(params, mixing_apply(weights, z))
+            z1_rec = h(z1)
+            z2_rec = h(z2)
+            z3_rec = jnp.roll(z1_rec, 1, axis=0)
+            if supervised:
+                total = jnp.mean((z1_rec - z1) ** 2)
+                return total, (total, total)
+            total, _, comps = loss_fn(z1, z2, z3, z1_rec, z2_rec, z3_rec)
+            return total, (comps[0], comps[1])
+
+        (total, (pos, neg)), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        total = nan_check(total, "loss")
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        return new_state, {"loss": total, "loss_pos": pos, "loss_neg": neg}
+
+    vstep = jax.vmap(one_step)
+
+    def scan_step(states, _):
+        return vstep(states, mixing_weights)
+
+    def jit_scan(length):
+        return _jit_step(
+            lambda s: jax.lax.scan(scan_step, s, None, length=length), donate
+        )
+
+    return make_chunked_steps(jit_scan, n_inner, MAX_SCAN_LEN)
+
+
 def make_data_train_step(
     apply_encoder: Callable,  # (params, batch_stats, x, train) -> (z, new_batch_stats)
     loss_fn,

@@ -68,6 +68,18 @@ def parse_args(argv=None):
     parser.add_argument("--save-every", default=None, type=int,
                         help="After how many steps to save the model (will always "
                              "be saved at the end)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Restore the full train state (params + "
+                             "batch stats + opt state + step + RNG keys "
+                             "+ loss history) saved by --save-every at "
+                             "<save-model>.train_state and continue. On "
+                             "the device-store and mesh paths the "
+                             "resumed trajectory is step-identical to "
+                             "the uninterrupted run; on the host-"
+                             "prefetch pipeline batches are IID so the "
+                             "continuation is statistically (not "
+                             "bitwise) identical. The reference saves "
+                             "weights only (main_3dident.py:561-566).")
     parser.add_argument("--no-cuda", action="store_true")  # accepted, no-op on TPU
     parser.add_argument("--position-only", action="store_true")
     parser.add_argument("--rotation-and-color-only", action="store_true")
@@ -162,6 +174,9 @@ def parse_args(argv=None):
     assert args.save_every is None or args.save_every > 0
     assert not (args.save_model is None and args.save_every is not None), \
         "--save-every requires --save-model to be set"
+    if args.resume and args.save_model is None:
+        raise SystemExit("--resume needs --save-model (the train state "
+                         "lives at <save-model>.train_state)")
     assert not (args.position_only and args.rotation_and_color_only), \
         "Only one of these flags can be set."
     assert not (
@@ -800,11 +815,66 @@ def main(argv=None):
                     zt, normalize_3dident(jnp.asarray(xt)))
         return make_batch(k)
 
+    # ---- full-fidelity resume (--save-every writes it, --resume reads
+    # it; VERDICT r3 weak #1 / SURVEY §5): everything the training loop
+    # mutates, in ONE crash-consistent Orbax artifact per checkpoint
+    # (train.checkpoint.save_resume_state) alongside the reference-
+    # shaped weights-only snapshots.
+    from ..train.checkpoint import load_resume_meta, save_resume_state
+
+    start_step = 0
+    state_dir = (args.save_model + ".train_state") if args.save_model else None
+
+    def _state_tree(step, losses):
+        tree = {"params": params, "batch_stats": batch_stats,
+                "opt_state": opt_state, "root_key": root_key,
+                "step": np.asarray(step, np.int64),
+                "losses": np.asarray(losses, np.float64),
+                "mesh": np.asarray(mesh_step is not None, np.int64)}
+        if mesh_step is not None:
+            tree["mesh_key"] = mesh_key
+        return tree
+
+    def save_train_state(next_step):
+        save_resume_state(state_dir, next_step,
+                          _state_tree(next_step, total_loss_values))
+
+    if args.resume:
+        _found = load_resume_meta(state_dir) if state_dir else None
+        if _found:
+            _artifact, _meta = _found
+            if int(_meta["mesh"]) != (mesh_step is not None):
+                raise SystemExit(
+                    "--resume: this train state was written "
+                    + ("by a --mesh run; rerun with the same --mesh so "
+                       "the restored mesh RNG key has a consumer"
+                       if int(_meta["mesh"]) else
+                       "single-device; rerun without --mesh (the saved "
+                       "state has no mesh RNG key)")
+                )
+            _loaded = restore_pytree(
+                _artifact,
+                _state_tree(0, [0.0] * len(_meta["losses"])),
+            )
+            params = _loaded["params"]
+            batch_stats = _loaded["batch_stats"]
+            opt_state = _loaded["opt_state"]
+            root_key = _loaded["root_key"]
+            if mesh_step is not None:
+                mesh_key = _loaded["mesh_key"]
+            start_step = int(_loaded["step"])
+            total_loss_values = list(np.asarray(_loaded["losses"]))
+            print(f"Resumed full train state at step {start_step} "
+                  f"from {_artifact}", flush=True)
+        else:
+            print("--resume: no train state found; starting fresh",
+                  flush=True)
+
     profile_ctx = trace_context(args.profile_dir)
     if args.mode in ("unsupervised", "supervised"):
         profile_ctx.__enter__()
     if args.mode == "unsupervised":
-        for step in range(args.iterations):
+        for step in range(start_step, args.iterations):
             if mesh_step is not None:
                 params, opt_state, batch_stats, mesh_key, total = mesh_step(
                     params, opt_state, batch_stats, mesh_key, sharded_store
@@ -835,6 +905,7 @@ def main(argv=None):
                 if (args.save_every is not None
                         and (step + 1) % args.save_every == 0):
                     save_model(args.save_model + f".iteration_{step + 1}")
+                    save_train_state(step + 1)
                 continue
             root_key, k = jax.random.split(root_key)
             z1, x1, z2, x2 = next_train_batch(k)
@@ -880,8 +951,9 @@ def main(argv=None):
                     print("scale:", identity_scale)
             if args.save_every is not None and (step + 1) % args.save_every == 0:
                 save_model(args.save_model + f".iteration_{step + 1}")
+                save_train_state(step + 1)
     elif args.mode == "supervised":
-        for step in range(args.iterations):
+        for step in range(start_step, args.iterations):
             if step % args.n_log_steps == 0 or step == args.iterations:
                 mcc, lin, mse, lin_mse = evaluate()
                 print(
@@ -909,6 +981,7 @@ def main(argv=None):
                 total_loss_values.append(np.inf)
             if args.save_every is not None and (step + 1) % args.save_every == 0:
                 save_model(args.save_model + f".iteration_{step + 1}")
+                save_train_state(step + 1)
     else:  # test
         mcc, lin, mse, lin_mse = evaluate(
             eval_perm=not args.identity_solution, no_pairs=True

@@ -106,6 +106,19 @@ def parse_args(argv=None):
     parser.add_argument("--n-log-steps", type=int, default=250)
     parser.add_argument("--n-steps", type=int, default=100001)
     parser.add_argument("--resume-training", action="store_true")
+    parser.add_argument("--save-every", type=int, default=0,
+                        help="Every N steps, write a full-fidelity "
+                             "resume checkpoint (params + opt state + "
+                             "step + train/eval RNG keys + loss/score "
+                             "history) into --save-dir. 0 = off. The "
+                             "reference saves weights only at phase end "
+                             "(main_mlp.py:373-381).")
+    parser.add_argument("--resume", action="store_true",
+                        help="Restore the latest --save-every checkpoint "
+                             "from --save-dir and continue; the resumed "
+                             "trajectory (losses, eval milestones) is "
+                             "step-identical to the uninterrupted run "
+                             "(tests/test_resume.py).")
     # TPU-native additions (not in the reference flag set):
     parser.add_argument("--seeds", type=int, default=0,
                         help="Train N independent seeds (base --seed, "
@@ -147,6 +160,13 @@ def parse_args(argv=None):
         if args.resume_training:
             raise SystemExit("--resume-training is per-run; not "
                              "supported with --seeds")
+        if args.resume or args.save_every:
+            raise SystemExit("--resume/--save-every checkpoint the "
+                             "single-run TrainState; not supported "
+                             "with --seeds yet")
+    if (args.resume or args.save_every) and not args.save_dir:
+        raise SystemExit("--resume/--save-every need --save-dir (the "
+                         "checkpoint lives there)")
     if args.mesh_model and args.mesh_model > 1:
         if not (args.mesh and args.mesh > 1):
             raise SystemExit("--mesh-model requires --mesh N")
@@ -217,6 +237,20 @@ def build_latent_space(args) -> LatentSpace:
         )
 
     return LatentSpace(space, sample_marginal, sample_conditional)
+
+
+def _resume_tree(state, root_key, phase, step, losses, lin_scores, perm_scores):
+    """The full-state resume pytree: meta + history ride INSIDE the one
+    atomic Orbax artifact (no sidecar to desynchronize from)."""
+    return {
+        "state": state,
+        "root_key": root_key,
+        "phase": np.asarray(phase, np.int64),
+        "step": np.asarray(step, np.int64),
+        "losses": np.asarray(losses, np.float64),
+        "linear_scores": np.asarray(lin_scores, np.float64),
+        "perm_scores": np.asarray(perm_scores, np.float64),
+    }
 
 
 _marginal_jit_cache = {}
@@ -449,8 +483,9 @@ def run_ensemble(args):
                         fh,
                     )
             # one Orbax artifact holding the whole stacked ensemble state
+            # (step is vmapped to shape (S,): pass the shared scalar)
             mgr = CheckpointManager(os.path.join(args.save_dir, f"ckpt_{tag}"))
-            mgr.save(states)
+            mgr.save(states, step=int(np.asarray(states.step)[0]))
             mgr.close()
 
         final_params = states.params
@@ -494,6 +529,40 @@ def main(argv=None):
     args = parse_args(argv)
     if args.seeds and args.seeds > 1:
         return run_ensemble(args)
+    # full-fidelity resume (--save-every/--resume): ONE crash-consistent
+    # Orbax artifact per checkpoint {TrainState, eval root_key, phase,
+    # step, loss/score history} behind an atomically-replaced LATEST
+    # pointer (train.checkpoint.save_resume_state) — the resumed
+    # trajectory is step-identical to the uninterrupted run because both
+    # RNG streams restore to their exact save-point values.
+    resume_dir = os.path.join(args.save_dir, "resume") if args.save_dir else None
+    resume_info = None
+    resume_artifact = None
+    if args.resume:
+        from ..train.checkpoint import load_resume_meta
+
+        found = load_resume_meta(resume_dir) if resume_dir else None
+        if found:
+            resume_artifact, _meta = found
+            resume_info = {
+                "phase": int(_meta["phase"]),
+                "step": int(_meta["step"]),
+                "losses": [float(x) for x in _meta["losses"]],
+                "linear_scores": [float(x) for x in _meta["linear_scores"]],
+                "perm_scores": [float(x) for x in _meta["perm_scores"]],
+                "root_key": np.asarray(_meta["root_key"]),
+            }
+            print(f"Resuming: phase {resume_info['phase']} "
+                  f"step {resume_info['step']}", flush=True)
+            n_phases = 1 if (args.only_supervised or args.only_unsupervised) else 2
+            if resume_info["phase"] >= n_phases and resume_info["step"] == 0:
+                raise SystemExit(
+                    "--resume: checkpoint marks all training phases "
+                    "complete; nothing to resume (the final artifacts "
+                    "are already in --save-dir)"
+                )
+        else:
+            print("--resume: no checkpoint found; starting fresh", flush=True)
     # structured metrics (stdout prints keep the reference's format; the
     # CSV/args.json artifacts land in --save-dir when given)
     logger = MetricsLogger(log_dir=args.save_dir or None, print_to_stdout=False)
@@ -555,6 +624,24 @@ def main(argv=None):
     perm_scores = []
 
     for phase_idx, test in enumerate(test_list):
+        if resume_info is not None and phase_idx < resume_info["phase"]:
+            print(f"supervised test: {test} — completed before resume; "
+                  "skipping", flush=True)
+            continue
+        resuming_here = (
+            resume_info is not None and phase_idx == resume_info["phase"]
+        )
+        if resuming_here and resume_info["step"] == 0:
+            # phase-boundary checkpoint: only the eval RNG stream (and,
+            # under --resume-training, the carried histories) survives —
+            # the phase re-inits f/optimizer from it, exactly as the
+            # uninterrupted run did after its save
+            root_key = jnp.asarray(resume_info["root_key"])
+            total_loss_values = list(resume_info["losses"])
+            linear_scores = list(resume_info["linear_scores"])
+            perm_scores = list(resume_info["perm_scores"])
+            resume_info = None
+            resuming_here = False
         print(f"supervised test: {test}")
         f = get_mlp(
             n_in=args.n,
@@ -638,6 +725,40 @@ def main(argv=None):
             linear_scores = []
             perm_scores = []
 
+        if resuming_here:
+            # mid-phase checkpoint: restore the full TrainState (params
+            # + Adam moments + step + train key) and the eval key; the
+            # fresh k_init/k_train splits above are discarded, exactly
+            # mirroring the uninterrupted run's key consumption.
+            from ..train.checkpoint import restore_pytree
+
+            loaded = restore_pytree(
+                resume_artifact,
+                _resume_tree(state, root_key, 0, 0,
+                             resume_info["losses"],
+                             resume_info["linear_scores"],
+                             resume_info["perm_scores"]),
+            )
+            state = loaded["state"]
+            root_key = loaded["root_key"]
+            total_loss_values = list(resume_info["losses"])
+            linear_scores = list(resume_info["linear_scores"])
+            perm_scores = list(resume_info["perm_scores"])
+            resume_info = None
+
+        last_saved = [len(total_loss_values) // args.save_every
+                      if args.save_every else 0]
+
+        def save_resume(phase, step):
+            from ..train.checkpoint import save_resume_state
+
+            save_resume_state(
+                resume_dir,
+                phase * (10 ** 9) + step,
+                _resume_tree(state, root_key, phase, step,
+                             total_loss_values, linear_scores, perm_scores),
+            )
+
         n_steps = args.n_steps if test else args.n_steps * args.more_unsupervised
         throughput = Throughput()
 
@@ -685,15 +806,27 @@ def main(argv=None):
 
         # step 1 + eval, then full n_log_steps chunks with eval after each
         with trace_context(args.profile_dir):
-            run_chunk(step_1, 1)
-            do_eval()
+            if not total_loss_values:  # fresh phase (not a mid-phase resume)
+                run_chunk(step_1, 1)
+                do_eval()
             while len(total_loss_values) + args.n_log_steps <= n_steps:
                 run_chunk(step_chunk, args.n_log_steps)
                 do_eval()
+                if (args.save_every and
+                        len(total_loss_values) // args.save_every
+                        > last_saved[0]):
+                    last_saved[0] = (
+                        len(total_loss_values) // args.save_every
+                    )
+                    save_resume(phase_idx, len(total_loss_values))
             while len(total_loss_values) < n_steps:
                 run_chunk(step_1, 1)
         if len(total_loss_values) % args.n_log_steps != 1:
-            do_eval()  # final eval at n_steps (reference: global_step == n_steps)
+            do_eval()
+        if args.save_every:
+            # phase-boundary checkpoint: next phase restarts fresh from
+            # the carried eval RNG stream
+            save_resume(phase_idx + 1, 0)  # final eval at n_steps (reference: global_step == n_steps)
 
         if args.save_dir:
             os.makedirs(args.save_dir, exist_ok=True)

@@ -72,3 +72,48 @@ def restore_pytree(path: str, target=None):
         return ckptr.restore(path)
     finally:
         ckptr.close()
+
+
+def save_resume_state(base_dir: str, seq: int, tree) -> None:
+    """Crash-consistent full-state resume checkpoint.
+
+    The whole state (train state, RNG keys, loss/score history, phase/
+    step markers) goes into ONE Orbax artifact at base_dir/state_<seq>
+    (Orbax writes to a tmp dir and renames, so the artifact is atomic),
+    then a tiny LATEST pointer is atomically replaced, then older
+    artifacts are pruned. A crash at any point leaves LATEST referencing
+    a complete artifact: mid-orbax-save -> previous pair intact;
+    between save and pointer update -> pointer still names the previous
+    artifact (not yet pruned); mid-prune -> pointer already names the
+    new one.
+    """
+    import shutil
+
+    os.makedirs(base_dir, exist_ok=True)
+    name = f"state_{int(seq):012d}"
+    save_pytree(os.path.join(base_dir, name), tree)
+    tmp = os.path.join(base_dir, "LATEST.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(name)
+    os.replace(tmp, os.path.join(base_dir, "LATEST"))
+    for entry in os.listdir(base_dir):
+        if entry.startswith("state_") and entry != name:
+            shutil.rmtree(os.path.join(base_dir, entry), ignore_errors=True)
+
+
+def load_resume_meta(base_dir: str):
+    """Return (artifact_dir, targetless-restored tree) for the LATEST
+    complete resume checkpoint, or None if there is none. The
+    targetless restore yields numpy arrays / plain nests — enough to
+    read phase/step/history and array shapes; follow with
+    restore_pytree(artifact_dir, target) to get typed structures
+    (TrainState, optax states) back."""
+    latest = os.path.join(base_dir, "LATEST")
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as fh:
+        name = fh.read().strip()
+    d = os.path.join(base_dir, name)
+    if not os.path.isdir(d):
+        return None
+    return d, restore_pytree(d)

@@ -1,0 +1,252 @@
+"""Sweep the reference paper's full MLP claim matrix (VERDICT r3 #1).
+
+The reference's central result is a grid — space {sphere, box,
+unbounded} x conditional c-p {0=vMF, 1, 2, 3} x loss p {matched,
+mismatched} (/root/reference/main_mlp.py:136-189; flag inventory
+README.md:13-58) — "identifiability when assumptions match,
+degradation when they don't". This tool measures the WHOLE grid, 3
+seeds per cell via the vmapped ensemble (`main_mlp --seeds 3`), and
+emits a results JSON + markdown table annotated with each cell's
+theory-predicted identifiability class.
+
+Cells (20 valid: vMF is sphere-only in both implementations):
+  - sphere (S^9, uniform marginal): c-p in {0=vMF(kappa=20), 1, 2, 3}
+  - box    ([0,1]^10, uniform marginal): c-p in {1, 2, 3}
+  - unbounded (R^10, Normal marginal — the paper's unbounded setting,
+    EXPERIMENTS r2 sweep): c-p in {1, 2, 3}
+each at matched loss p (p=c-p; vMF -> p=0 SimCLR) and one mismatched p.
+
+Each cell runs as a subprocess of cl_ica_tpu.cli.main_mlp (isolated
+compile caches, resume-safe: cells already in results.json are
+skipped). Per-seed final scores are parsed from the ensemble's
+"[seed s] perm mean:" stdout lines; trajectories land in the per-cell
+save-dir CSVs.
+
+Usage: python -u tools/claim_matrix.py [--steps 30000] [--out runs/claim_matrix]
+       [--quick]  (tiny shapes for a smoke test)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+# Theory classes (Zimmermann et al. 2021):
+#   orth    — identifiable up to orthogonal transform (rotationally
+#             symmetric conditional on the sphere): linear R2 ~ 1,
+#             MCC plateaus ~0.6 (the r1 sphere+vMF measurement).
+#   perm    — identifiable up to permutation (anisotropic conditional,
+#             or convex-body boundary breaking rotational symmetry):
+#             MCC ~ 0.98 band.
+#   linear  — identifiable up to linear transform only (isotropic
+#             normal conditional on unbounded space): R2 high, MCC low.
+#   none    — assumptions violated (mismatched loss): degradation
+#             expected; no guarantee.
+#   degenerate — matched in theory but known-bad optimization (the
+#             c-p=3/p=3 logsumexp plateau collapse, EXPERIMENTS r1;
+#             shared with the torch reference).
+
+SPHERE = dict(space="sphere", m_p=0, head=["--sphere-norm"])
+BOX = dict(space="box", m_p=0, head=["--box-norm"])
+UNB = dict(space="unbounded", m_p=2, head=[])
+
+
+def build_cells():
+    cells = []
+
+    def add(base, c_p, c_param, loss_p, match, theory, head=None):
+        cells.append(
+            dict(
+                space=base["space"],
+                m_p=base["m_p"],
+                c_p=c_p,
+                c_param=c_param,
+                p=loss_p,
+                match=match,
+                theory=theory,
+                head=base["head"] if head is None else head,
+            )
+        )
+
+    # --- sphere: uniform marginal ---
+    # vMF(kappa=20) is the paper's sphere setting (BASELINE config #1);
+    # matched loss is p=0 SimCLR with the fixed-sphere head.
+    add(SPHERE, 0, 20.0, 0, "matched", "orth", head=[])
+    # p=1 on the sphere is a genuine mismatch (p=2 would be monotone in
+    # the dot product, i.e. vMF-equivalent up to temperature).
+    add(SPHERE, 0, 20.0, 1, "mismatched", "none")
+    # projected Lp conditionals on the sphere: laplace/gen-normal are
+    # anisotropic; projected normal is rotationally symmetric -> orth.
+    add(SPHERE, 1, 0.05, 1, "matched", "perm")
+    add(SPHERE, 1, 0.05, 2, "mismatched", "none")
+    add(SPHERE, 2, 0.05, 2, "matched", "orth")
+    add(SPHERE, 2, 0.05, 1, "mismatched", "none")
+    add(SPHERE, 3, 0.05, 3, "matched", "degenerate")
+    add(SPHERE, 3, 0.05, 2, "mismatched", "none")
+
+    # --- box: uniform marginal, box-norm head (reference protocol) ---
+    add(BOX, 1, 0.05, 1, "matched", "perm")
+    add(BOX, 1, 0.05, 2, "mismatched", "none")
+    # normal conditional is isotropic but the box boundary breaks
+    # rotational symmetry — the paper reports high MCC here.
+    add(BOX, 2, 0.05, 2, "matched", "perm")
+    add(BOX, 2, 0.05, 1, "mismatched", "none")
+    add(BOX, 3, 0.05, 3, "matched", "degenerate")
+    add(BOX, 3, 0.05, 2, "mismatched", "none")
+
+    # --- unbounded: Normal marginal (m-p=2), no output constraint.
+    # c-param 0.1 is the EXPERIMENTS r2 sweep's paper-band config.
+    add(UNB, 1, 0.1, 1, "matched", "perm")
+    add(UNB, 1, 0.1, 2, "mismatched", "none")
+    add(UNB, 2, 0.1, 2, "matched", "linear")
+    add(UNB, 2, 0.1, 1, "mismatched", "none")
+    add(UNB, 3, 0.1, 3, "matched", "degenerate")
+    add(UNB, 3, 0.1, 2, "mismatched", "none")
+    return cells
+
+
+def cell_key(c):
+    return f"{c['space']}_mp{c['m_p']}_cp{c['c_p']}_p{c['p']}"
+
+
+def cell_argv(c, args):
+    argv = [
+        "--space-type", c["space"],
+        "--m-p", str(c["m_p"]),
+        "--c-p", str(c["c_p"]),
+        "--c-param", str(c["c_param"]),
+        "--p", str(c["p"]),
+        "--n", str(args.n),
+        "--batch-size", str(args.batch_size),
+        "--n-steps", str(args.steps),
+        "--more-unsupervised", "1",
+        "--only-unsupervised",
+        "--n-log-steps", str(args.log_steps),
+        "--seed", "0",
+        "--seeds", str(args.seeds),
+        "--num-eval-batches", "10",
+        "--save-dir", os.path.join(args.out, cell_key(c)),
+    ] + c["head"]
+    return argv
+
+
+_SEED_RE = re.compile(
+    r"\[seed (\d+)\] (linear|perm) mean: ([0-9.eE+-]+) std: ([0-9.eE+-]+)"
+)
+
+
+def parse_scores(stdout):
+    lin, perm = {}, {}
+    for m in _SEED_RE.finditer(stdout):
+        seed, kind, mean = int(m.group(1)), m.group(2), float(m.group(3))
+        (lin if kind == "linear" else perm)[seed] = mean
+    return lin, perm
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--log-steps", type=int, default=3000)
+    ap.add_argument("--batch-size", type=int, default=6144)
+    ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--out", type=str, default="runs/claim_matrix")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny shapes (n=3, batch 256, 200 steps) smoke test")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="run only the first N not-yet-done cells")
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.steps, args.log_steps, args.batch_size, args.n = 200, 100, 256, 3
+
+    os.makedirs(args.out, exist_ok=True)
+    results_path = os.path.join(args.out, "results.json")
+    results = {}
+    if os.path.exists(results_path):
+        with open(results_path) as fh:
+            results = json.load(fh)
+
+    cells = build_cells()
+    print(f"claim matrix: {len(cells)} cells x {args.seeds} seeds, "
+          f"{args.steps} steps each ({len(results)} already done)", flush=True)
+
+    ran = 0
+    for i, c in enumerate(cells):
+        key = cell_key(c)
+        if key in results and results[key].get("ok"):
+            print(f"[{i+1}/{len(cells)}] {key}: cached", flush=True)
+            continue
+        if args.limit and ran >= args.limit:
+            print(f"--limit {args.limit} reached; stopping", flush=True)
+            break
+        ran += 1
+        t0 = time.time()
+        cmd = [sys.executable, "-u", "-m", "cl_ica_tpu.cli.main_mlp"] + cell_argv(c, args)
+        print(f"[{i+1}/{len(cells)}] {key} ({c['match']}, theory={c['theory']}): "
+              + " ".join(cmd[4:]), flush=True)
+        # append (not override) so the host's TPU-routing sitecustomize
+        # entry on PYTHONPATH stays active (CLAUDE.md gotchas)
+        pp = os.environ.get("PYTHONPATH", "")
+        env = {**os.environ,
+               "PYTHONPATH": os.getcwd() + (":" + pp if pp else "")}
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        tail = proc.stdout[-2000:]
+        if proc.returncode != 0:
+            print(f"  FAILED rc={proc.returncode}\n{tail}\n{proc.stderr[-2000:]}",
+                  flush=True)
+            results[key] = dict(c, ok=False, rc=proc.returncode)
+        else:
+            lin, perm = parse_scores(proc.stdout)
+            results[key] = dict(
+                c,
+                ok=True,
+                wall_s=round(time.time() - t0, 1),
+                linear_per_seed=lin,
+                perm_per_seed=perm,
+            )
+            lv, pv = list(lin.values()), list(perm.values())
+            mean = lambda v: sum(v) / max(len(v), 1)
+            print(f"  done in {time.time()-t0:.0f}s: "
+                  f"R2 {mean(lv):.4f} MCC {mean(pv):.4f} "
+                  f"(per-seed MCC {[round(x,4) for x in pv]})", flush=True)
+        with open(results_path + ".tmp", "w") as fh:
+            json.dump(results, fh, indent=1)
+        os.replace(results_path + ".tmp", results_path)
+
+    render_table(results, cells)
+
+
+def render_table(results, cells):
+    mean = lambda d: sum(d.values()) / max(len(d), 1)
+    std = lambda d: (
+        (sum((v - mean(d)) ** 2 for v in d.values()) / max(len(d), 1)) ** 0.5
+    )
+    print("\n| space | marginal | conditional | loss p | match | theory | "
+          "linear R2 | MCC |")
+    print("|---|---|---|---|---|---|---|---|")
+    mnames = {0: "uniform", 1: "laplace", 2: "normal", 3: "gennorm3"}
+    cnames = {0: "vMF", 1: "laplace", 2: "normal", 3: "gennorm3"}
+    for c in cells:
+        r = results.get(cell_key(c))
+        if not r or not r.get("ok"):
+            row = "— failed —"
+            print(f"| {c['space']} | {mnames[c['m_p']]} | {cnames[c['c_p']]} "
+                  f"| {c['p']} | {c['match']} | {c['theory']} | {row} | {row} |")
+            continue
+        lin = {int(k): v for k, v in r["linear_per_seed"].items()}
+        perm = {int(k): v for k, v in r["perm_per_seed"].items()}
+        print(
+            f"| {c['space']} | {mnames[c['m_p']]} | {cnames[c['c_p']]} "
+            f"| {c['p']} | {c['match']} | {c['theory']} "
+            f"| {mean(lin):.4f} ± {std(lin):.4f} "
+            f"| {mean(perm):.4f} ± {std(perm):.4f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

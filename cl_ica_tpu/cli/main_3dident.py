@@ -452,12 +452,11 @@ def main(argv=None):
     print("Using latent dimensions:", dims)
     load_images = not (args.dummy_mixing or args.identity_mixing_and_solution)
 
-    use_mesh = args.mesh and args.mesh > 1 and args.mode == "unsupervised"
-    if args.mesh and args.mesh > 1 and not use_mesh:
-        raise SystemExit(
-            "--mesh covers only the unsupervised image train step; "
-            f"--mode {args.mode} would silently run single-device"
-        )
+    # --mesh covers all three modes (r4; the reference's DataParallel(f)
+    # wraps the encoder for supervised/test too, main_3dident.py:373,
+    # 569-653): unsupervised/supervised get sharded train steps, test
+    # gets sharded batch encodes over the row-sharded store.
+    use_mesh = bool(args.mesh and args.mesh > 1)
     if use_mesh and not load_images:
         raise SystemExit(
             "--mesh is incompatible with --dummy-mixing/"
@@ -671,6 +670,13 @@ def main(argv=None):
             root_key, k = jax.random.split(root_key)
             if mesh_eval is not None:
                 z, hz = mesh_eval(params, batch_stats, k, sharded_store)
+            elif mesh_test_encode is not None:
+                idx = _next_test_indices(args.batch_size)
+                z = sampler.latents[idx]
+                hz = mesh_test_encode(
+                    params, batch_stats,
+                    jnp.asarray(idx, jnp.int32), sharded_store,
+                )
             else:
                 z, x, _, _ = make_batch(k)
                 if args.identity_mixing_and_solution:
@@ -700,6 +706,8 @@ def main(argv=None):
 
     # ---- multi-chip path: mesh-sharded store + sharded train step ----
     mesh_step = None
+    mesh_sup_step = None
+    mesh_test_encode = None
     if use_mesh and load_images and (
         sampler.images is None or sampler.images._packed is None
     ):
@@ -718,6 +726,7 @@ def main(argv=None):
 
         from ..parallel import (
             make_dp_tp_mesh,
+            make_sharded_3dident_sup_step,
             make_sharded_3dident_train_step,
             pad_rows_to_multiple,
         )
@@ -741,10 +750,16 @@ def main(argv=None):
                 example_opt_state=opt_state,
                 example_batch_stats=batch_stats,
             )
-        mesh_step = make_sharded_3dident_train_step(
-            mesh, sampler._sample, apply_model, split_loss, optimizer,
-            padded.shape, normalize_3dident, **tp_kwargs,
-        )
+        if args.mode == "unsupervised":
+            mesh_step = make_sharded_3dident_train_step(
+                mesh, sampler._sample, apply_model, split_loss, optimizer,
+                padded.shape, normalize_3dident, **tp_kwargs,
+            )
+        elif args.mode == "supervised":
+            mesh_sup_step = make_sharded_3dident_sup_step(
+                mesh, sampler._sample, apply_model, sup_loss, optimizer,
+                padded.shape, normalize_3dident, **tp_kwargs,
+            )
         root_key, mesh_key = jax.random.split(root_key)
 
         # sharded eval encode: gather rows from the sharded store with
@@ -766,6 +781,15 @@ def main(argv=None):
             x = jax.lax.with_sharding_constraint(x, _dsh)
             return z, apply_model(p, bs, x, False)[0]
 
+        def _mesh_test(p, bs, idx, store):
+            # test mode: encode an explicit index batch of the
+            # sequential sweep over the row-sharded store
+            x = normalize_3dident(
+                _eval_gather(store, idx).astype(jnp.float32)
+            )
+            x = jax.lax.with_sharding_constraint(x, _dsh)
+            return apply_model(p, bs, x, False)[0]
+
         if mesh_model:
             # params/stats arrive (and stay) TP-sharded after the first
             # train step — match them so eval never gathers the tree
@@ -777,15 +801,25 @@ def main(argv=None):
         else:
             _p_sh = _rep
             _b_sh = _rep
-        mesh_eval = jax.jit(
-            _mesh_eval,
-            in_shardings=(_p_sh, _b_sh, _rep, NamedSharding(mesh, P("data"))),
-            out_shardings=(_rep, _rep),
-        )
+        if args.mode in ("unsupervised", "supervised"):
+            mesh_eval = jax.jit(
+                _mesh_eval,
+                in_shardings=(_p_sh, _b_sh, _rep,
+                              NamedSharding(mesh, P("data"))),
+                out_shardings=(_rep, _rep),
+            )
+        else:  # test: sharded encodes over the sequential sweep
+            mesh_test_encode = jax.jit(
+                _mesh_test,
+                in_shardings=(_p_sh, _b_sh, _rep,
+                              NamedSharding(mesh, P("data"))),
+                out_shardings=_rep,
+            )
         print(f"mesh path: {args.mesh} devices"
               + (f" ({n_data} data x {mesh_model} model)" if mesh_model
                  else "")
-              + f", store {padded.shape} row-sharded, eval sharded",
+              + f", store {padded.shape} row-sharded, mode {args.mode}, "
+              "eval sharded",
               flush=True)
 
     throughput = Throughput()
@@ -825,13 +859,16 @@ def main(argv=None):
     start_step = 0
     state_dir = (args.save_model + ".train_state") if args.save_model else None
 
+    def _mesh_active():
+        return mesh_step is not None or mesh_sup_step is not None
+
     def _state_tree(step, losses):
         tree = {"params": params, "batch_stats": batch_stats,
                 "opt_state": opt_state, "root_key": root_key,
                 "step": np.asarray(step, np.int64),
                 "losses": np.asarray(losses, np.float64),
-                "mesh": np.asarray(mesh_step is not None, np.int64)}
-        if mesh_step is not None:
+                "mesh": np.asarray(_mesh_active(), np.int64)}
+        if _mesh_active():
             tree["mesh_key"] = mesh_key
         return tree
 
@@ -843,7 +880,7 @@ def main(argv=None):
         _found = load_resume_meta(state_dir) if state_dir else None
         if _found:
             _artifact, _meta = _found
-            if int(_meta["mesh"]) != (mesh_step is not None):
+            if int(_meta["mesh"]) != _mesh_active():
                 raise SystemExit(
                     "--resume: this train state was written "
                     + ("by a --mesh run; rerun with the same --mesh so "
@@ -860,7 +897,7 @@ def main(argv=None):
             batch_stats = _loaded["batch_stats"]
             opt_state = _loaded["opt_state"]
             root_key = _loaded["root_key"]
-            if mesh_step is not None:
+            if _mesh_active():
                 mesh_key = _loaded["mesh_key"]
             start_step = int(_loaded["step"])
             total_loss_values = list(np.asarray(_loaded["losses"]))
@@ -970,14 +1007,24 @@ def main(argv=None):
                              if total_loss_values else float("inf")),
                     "linear_disentanglement": lin,
                 })
-            root_key, k = jax.random.split(root_key)
-            z1, x1, _, _ = make_batch(k)
-            if not args.identity_solution:
+            if mesh_sup_step is not None and not args.identity_solution:
+                # sharded supervised step: latent sampling + u8 store
+                # gather + row-sharded fwd/bwd in one jitted program
+                params, opt_state, batch_stats, mesh_key, total = (
+                    mesh_sup_step(params, opt_state, batch_stats,
+                                  mesh_key, sharded_store)
+                )
+                total_loss_values.append(float(total))
+            elif not args.identity_solution:
+                root_key, k = jax.random.split(root_key)
+                z1, x1, _, _ = make_batch(k)
                 params, opt_state, batch_stats, total = sup_step(
                     params, opt_state, batch_stats, x1, z1
                 )
                 total_loss_values.append(float(total))
             else:
+                root_key, k = jax.random.split(root_key)
+                make_batch(k)
                 total_loss_values.append(np.inf)
             if args.save_every is not None and (step + 1) % args.save_every == 0:
                 save_model(args.save_model + f".iteration_{step + 1}")

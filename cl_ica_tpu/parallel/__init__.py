@@ -24,6 +24,7 @@ from .sharded import (
     make_sharded_synthetic_train_step,
     make_sharded_data_train_step,
     make_sharded_3dident_train_step,
+    make_sharded_3dident_sup_step,
     pad_rows_to_multiple,
     shard_batch,
 )
@@ -41,5 +42,6 @@ __all__ = [
     "sharded_store_gather",
     "store_gather_shardmap",
     "make_sharded_3dident_train_step",
+    "make_sharded_3dident_sup_step",
     "pad_rows_to_multiple",
 ]

@@ -226,20 +226,64 @@ def test_main_3dident_mesh_requires_packed_store(tmp_path):
 
 # ---- in-process argument-validation guards (cheap: no subprocess) ----
 
-def test_main_3dident_mesh_rejects_non_unsupervised_mode(tmp_path):
-    """--mesh outside --mode unsupervised must fail loudly, not silently
-    train single-device (review r3)."""
-    from cl_ica_tpu.cli import main_3dident
+def _mesh_fixture(tmp_path, n=48):
+    import numpy as np
 
-    root = tmp_path / "d"
-    root.mkdir()
-    with pytest.raises(SystemExit, match="unsupervised"):
-        main_3dident.main([
-            "--offline-dataset", str(root), "--mode", "supervised",
+    from cl_ica_tpu.tools.make_synthetic_3dident import render_batch
+
+    root = tmp_path / "data"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(-1, 1, (n, 10)).astype(np.float32)
+    np.save(root / "raw_latents.npy", lat)
+    imgs = render_batch(lat, size=32)
+    store = np.lib.format.open_memmap(
+        root / "images_packed_32x32.u8", mode="w+", dtype=np.uint8,
+        shape=imgs.shape,
+    )
+    store[:] = imgs
+    store.flush()
+    return root
+
+
+def test_main_3dident_mesh_supervised_trains(tmp_path):
+    """--mesh now covers --mode supervised (VERDICT r3 missing #3: the
+    reference's DataParallel(f) wraps the supervised phase too,
+    main_3dident.py:373,569-653): sharded sup step + sharded eval."""
+    root = _mesh_fixture(tmp_path)
+    r = _run_env(
+        [
+            "cl_ica_tpu.cli.main_3dident", "--mode", "supervised",
+            "--offline-dataset", str(root),
             "--non-periodic-rotation-and-color",
-            "--mesh", "8", "--batch-size", "8", "--iterations", "1",
-            "--n-eval-samples", "0",
-        ])
+            "--mesh", "8", "--batch-size", "8", "--iterations", "4",
+            "--n-log-steps", "2", "--n-eval-samples", "16", "--seed", "0",
+        ],
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mesh path: 8 devices" in r.stdout
+    assert "mode supervised" in r.stdout
+    assert "Lin. Disentanglement" in r.stdout
+
+
+def test_main_3dident_mesh_test_mode_sharded_eval(tmp_path):
+    """--mesh with --mode test: the sequential sweep's batches are
+    encoded over the row-sharded store (sharded gather + encode)."""
+    root = _mesh_fixture(tmp_path)
+    r = _run_env(
+        [
+            "cl_ica_tpu.cli.main_3dident", "--mode", "test",
+            "--offline-dataset", str(root),
+            "--non-periodic-rotation-and-color",
+            "--mesh", "8", "--batch-size", "8",
+            "--n-eval-samples", "16", "--seed", "0",
+        ],
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mode test" in r.stdout
+    assert "MCC" in r.stdout
 
 
 def test_main_3dident_mesh_rejects_dummy_mixing(tmp_path):

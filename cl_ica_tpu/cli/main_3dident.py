@@ -134,6 +134,18 @@ def parse_args(argv=None):
                              "on v5e — ops/bn_minres8.py); pass 'batch' "
                              "to load checkpoints saved under the "
                              "pre-r3 flax nn.BatchNorm naming")
+    parser.add_argument("--scan", action="store_true",
+                        help="Fuse unsupervised training steps into "
+                             "lax.scan segments between log/save "
+                             "boundaries: ONE device dispatch per "
+                             "segment instead of two dispatches plus a "
+                             "blocking loss fetch per step. The 64^2 "
+                             "device-store run is dispatch-bound at "
+                             "that per-step round-trip (chip ~90%% "
+                             "idle, EXPERIMENTS r3). Same math and the "
+                             "same RNG key sequence as the per-step "
+                             "loop. Device-store and --dummy-mixing "
+                             "batch paths only.")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of the training "
                              "loop into this directory (TensorBoard/XProf).")
@@ -193,6 +205,24 @@ def parse_args(argv=None):
                 f"--mesh {args.mesh} must be divisible by "
                 f"--mesh-model {args.mesh_model} (2-D data x model mesh)"
             )
+    if args.scan:
+        # loud guards, not silent degradation (r3 convention): every
+        # combination --scan cannot fuse exits with the reason
+        if args.mode != "unsupervised":
+            raise SystemExit("--scan fuses unsupervised train steps; "
+                             "use it with --mode unsupervised")
+        if args.identity_mixing_and_solution:
+            raise SystemExit("--scan: --identity-mixing-and-solution "
+                             "is interactive per step (scale prompt); "
+                             "drop one of the two flags")
+        if args.mesh:
+            raise SystemExit("--scan: the --mesh path has its own "
+                             "sharded per-step program; scanned mesh "
+                             "segments are not implemented — drop one")
+        if os.environ.get("CL_ICA_TPU_DEBUG"):
+            raise SystemExit("--scan: checkify NaN guards functionalize "
+                             "per-step jits, not scan bodies; unset "
+                             "CL_ICA_TPU_DEBUG or drop --scan")
     if args.fused_stem and args.norm_kind == "batch":
         raise SystemExit(
             "--fused-stem forces the FastBatchNorm module naming, so it "
@@ -618,9 +648,7 @@ def main(argv=None):
 
     identity_scale = 1.0
 
-    @checkify_wrap
-    @jax.jit
-    def unsup_step(params, opt_state, batch_stats, x1, x2):
+    def _unsup_body(params, opt_state, batch_stats, x1, x2):
         b = x1.shape[0]
 
         def objective(p):
@@ -637,6 +665,50 @@ def main(argv=None):
         )(params)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, bs, total, per_item
+
+    unsup_step = checkify_wrap(jax.jit(_unsup_body))
+
+    def make_scanned_unsup(n_inner):
+        """--scan: n_inner fused steps in one device program.
+
+        lax.scan over (sample pair -> NN match -> store gather ->
+        normalize -> fwd/bwd -> Adam), carrying (params, opt_state,
+        batch_stats, key) and emitting per-step (loss, sigma(loss)).
+        The key is split per step exactly like the eager loop, so the
+        batch sequence is identical. The image store rides as a jit
+        ARGUMENT (scan-invariant), never a baked-in constant — the
+        remote-compile gotcha at data/threedident.py:264-266.
+        """
+        from ..train.trainer import MAX_SCAN_LEN, make_chunked_steps
+
+        use_store = getattr(sampler, "device_store", None) is not None
+
+        def jit_scan(length):
+            def run(carry, store):
+                def one_step(c, _):
+                    p, o, bs_, key = c
+                    key, k = jax.random.split(key)
+                    if use_store:
+                        idx_z, idx_zt, _, _ = sampler.sample_latent_batch(k)
+                        x1 = normalize_3dident(store[idx_z])
+                        x2 = normalize_3dident(store[idx_zt])
+                    else:
+                        _, _, z, zt = sampler.sample_latent_batch(k)
+                        if g_jit is not None:  # --dummy-mixing MLP
+                            x1, x2 = g_jit(z), g_jit(zt)
+                        else:  # identity mixing
+                            x1, x2 = z, zt
+                    p, o, bs_, total, per_item = _unsup_body(p, o, bs_, x1, x2)
+                    return (p, o, bs_, key), (total, jnp.std(per_item))
+
+                return jax.lax.scan(one_step, carry, None, length)
+
+            jitted = jax.jit(run, donate_argnums=(0,))
+            if use_store:
+                return lambda carry: jitted(carry, sampler.device_store)
+            return lambda carry: jitted(carry, jnp.zeros((), jnp.float32))
+
+        return make_chunked_steps(jit_scan, n_inner, MAX_SCAN_LEN)
 
     @checkify_wrap
     @jax.jit
@@ -910,7 +982,71 @@ def main(argv=None):
     profile_ctx = trace_context(args.profile_dir)
     if args.mode in ("unsupervised", "supervised"):
         profile_ctx.__enter__()
-    if args.mode == "unsupervised":
+    if args.mode == "unsupervised" and args.scan:
+        # --scan: drive training as fused lax.scan segments between host
+        # boundaries (evaluate/log at step % n_log_steps == 0, checkpoint
+        # at (step+1) % save_every == 0). One device dispatch per segment
+        # replaces the eager loop's two dispatches + blocking float()
+        # fetch per step — the tunnel round-trip that left the chip ~90%
+        # idle on the 64^2 true-N runs (EXPERIMENTS r3: 700 ms/step).
+        # Math and RNG key sequence are identical to the eager loop
+        # (test_cli_3dident.py::test_scan_matches_eager).
+        scan_cache = {}
+
+        def _next_boundary(s):
+            """Smallest step >= s at which the eager loop touches the
+            host: a log step, a checkpoint step, or the final step."""
+            nl = s if s % args.n_log_steps == 0 else (
+                s + args.n_log_steps - s % args.n_log_steps)
+            end = min(nl, args.iterations - 1)
+            if args.save_every is not None:
+                ns = s + ((args.save_every - (s + 1) % args.save_every)
+                          % args.save_every)
+                end = min(end, ns)
+            return end
+
+        step = start_step
+        while step < args.iterations:
+            seg_end = _next_boundary(step)
+            n_inner = seg_end - step + 1
+            if n_inner not in scan_cache:
+                scan_cache[n_inner] = make_scanned_unsup(n_inner)
+            (params, opt_state, batch_stats, root_key), (totals, stds) = (
+                scan_cache[n_inner](
+                    (params, opt_state, batch_stats, root_key))
+            )
+            totals = np.asarray(totals, np.float64)
+            total_loss_values.extend(float(t) for t in totals)
+            throughput.update(args.batch_size * n_inner)
+            if seg_end % args.n_log_steps == 0:
+                mcc, lin, mse, lin_mse = evaluate()
+                pps = throughput.pairs_per_sec
+                print(
+                    f"[{datetime.now().strftime('%Y-%m-%d_%H:%M:%S')}] \t",
+                    f"Step: {seg_end + 1} \t",
+                    f"Loss: {totals[-1]:.6f} \t",
+                    f"sigma(loss): {float(stds[-1])} \t",
+                    f"<Loss>: {np.mean(total_loss_values[-args.n_log_steps:]):.6f} \t",
+                    f"Lin. Disentanglement: {lin:.6f} \t",
+                    f"Perm. Disentanglement (MCC): {mcc:.4f}",
+                    f"L2: {mse}",
+                    f"lin. L2: {lin_mse}",
+                    (f"pairs/s: {pps:.0f}" if pps else ""),
+                    flush=True,
+                )
+                logger.log(seg_end + 1, {
+                    "loss": float(totals[-1]),
+                    "linear_disentanglement": lin,
+                    "perm_disentanglement": mcc,
+                    "pairs_per_sec": pps or 0.0,
+                    "mean_znorm": getattr(evaluate, "last_znorm", 0.0),
+                })
+            if (args.save_every is not None
+                    and (seg_end + 1) % args.save_every == 0):
+                save_model(args.save_model + f".iteration_{seg_end + 1}")
+                save_train_state(seg_end + 1)
+            step = seg_end + 1
+    elif args.mode == "unsupervised":
         for step in range(start_step, args.iterations):
             if mesh_step is not None:
                 params, opt_state, batch_stats, mesh_key, total = mesh_step(

@@ -137,6 +137,53 @@ def test_main_3dident_fused_stem_trains(tmp_path):
     assert "MCC" in r.stdout
 
 
+def test_main_3dident_scan_matches_eager(tmp_path):
+    """--scan (fused lax.scan segments, one dispatch per log interval)
+    trains the same model as the eager per-step loop: same RNG key
+    sequence, same math, so the logged losses must agree to float32
+    noise at every boundary."""
+    import re
+
+    root = _mesh_fixture(tmp_path)
+    common = [
+        "cl_ica_tpu.cli.main_3dident", "--mode", "unsupervised",
+        "--offline-dataset", str(root),
+        "--non-periodic-rotation-and-color",
+        "--batch-size", "8", "--iterations", "7",
+        "--n-log-steps", "3", "--n-eval-samples", "16", "--seed", "0",
+    ]
+    losses = {}
+    for variant, extra in (("eager", []), ("scan", ["--scan"])):
+        r = _run(common + extra)
+        assert r.returncode == 0, r.stderr[-2000:]
+        losses[variant] = [
+            float(m) for m in re.findall(r"Loss: ([0-9.]+)", r.stdout)
+        ]
+    assert len(losses["scan"]) == len(losses["eager"]) == 3
+    for a, b in zip(losses["scan"], losses["eager"]):
+        assert abs(a - b) <= 2e-4 * max(1.0, abs(b)), (
+            losses["scan"], losses["eager"])
+
+
+def test_main_3dident_scan_guards():
+    """--scan loud guards: mesh, non-unsupervised modes, interactive
+    identity-mixing prompt."""
+    from cl_ica_tpu.cli import main_3dident
+
+    with pytest.raises(SystemExit, match="scan"):
+        main_3dident.parse_args(
+            ["--mode", "supervised", "--scan", "--offline-dataset", "x"])
+    with pytest.raises(SystemExit, match="scan"):
+        main_3dident.parse_args(
+            ["--mode", "unsupervised", "--scan", "--mesh", "8",
+             "--offline-dataset", "x"])
+    with pytest.raises(SystemExit, match="scan"):
+        main_3dident.parse_args(
+            ["--mode", "unsupervised", "--scan",
+             "--identity-mixing-and-solution", "--dummy-mixing",
+             "--offline-dataset", "x"])
+
+
 def test_main_3dident_mesh_trains_and_evals_sharded(tmp_path):
     """--mesh 8 on a virtual 8-CPU mesh: mesh-sharded store, uint8
     reduce-scatter batch gather, row-sharded encoder, AND the sharded

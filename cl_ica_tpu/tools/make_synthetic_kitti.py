@@ -52,8 +52,64 @@ def mask_latents(mask: np.ndarray) -> np.ndarray:
     )
 
 
+def _boundary_band(mask: np.ndarray) -> np.ndarray:
+    """Pixels within one step of the mask boundary (both sides), via
+    4-neighbor roll comparisons (no scipy on this image)."""
+    m = mask.astype(bool)
+    band = np.zeros_like(m)
+    for ax in (0, 1):
+        for sh in (1, -1):
+            band |= np.roll(m, sh, axis=ax) != m
+    return band
+
+
+def apply_segmentation_noise(mask: np.ndarray, rng, strength: float):
+    """Segmentation-network noise model (VERDICT r3 #7): the real
+    kitti_peds_v2 masks come out of an instance-segmentation model, so
+    they carry ragged boundaries, interior holes, and speckle — unlike
+    the crisp analytic squares. Three components, all scaled by
+    ``strength``:
+
+    - boundary raggedness: pixels in the 1-px boundary band flip with
+      prob ``strength`` (erosion/dilation jitter);
+    - interior holes: Poisson(6*strength) small 2-4 px dropouts;
+    - exterior speckle: Poisson(3*strength) false-positive blobs near
+      the object.
+
+    Latents are recomputed FROM the noisy mask downstream, exactly like
+    the real corpus's latents — so mask->latent consistency stays exact
+    while the frame-to-frame latent transitions become heavier-tailed
+    than the clean Laplace walk (the rehearsal target for the paper's
+    real-data 0.75-0.80 MCC band).
+    """
+    if strength <= 0:
+        return mask
+    m = mask.astype(bool)
+    band = _boundary_band(m)
+    flip = band & (rng.random(m.shape) < strength)
+    m = m ^ flip
+    h, w = m.shape
+    ys, xs = np.nonzero(m)
+    if len(ys):
+        for _ in range(rng.poisson(6 * strength)):  # holes
+            j = rng.integers(len(ys))
+            k = int(rng.integers(2, 5))
+            y0 = int(np.clip(ys[j] - k // 2, 0, h - k))
+            x0 = int(np.clip(xs[j] - k // 2, 0, w - k))
+            m[y0:y0 + k, x0:x0 + k] = False
+        for _ in range(rng.poisson(3 * strength)):  # speckle
+            j = rng.integers(len(ys))
+            k = int(rng.integers(1, 3))
+            dy, dx = rng.integers(-6, 7, size=2)
+            y0 = int(np.clip(ys[j] + dy, 0, h - k))
+            x0 = int(np.clip(xs[j] + dx, 0, w - k))
+            m[y0:y0 + k, x0:x0 + k] = True
+    return m.astype(np.uint8)
+
+
 def generate(n_sequences: int, frames: int, size: int, seed: int,
-             motion_scale: float = 2.0, side_scale: float = 0.8):
+             motion_scale: float = 2.0, side_scale: float = 0.8,
+             segmentation_noise: float = 0.0):
     rng = np.random.default_rng(seed)
     seqs, lats = [], []
     for _ in range(n_sequences):
@@ -63,6 +119,7 @@ def generate(n_sequences: int, frames: int, size: int, seed: int,
         frames_i, lats_i = [], []
         for _ in range(frames):
             mask = render_square(size, size, cy, cx, side)
+            mask = apply_segmentation_noise(mask, rng, segmentation_noise)
             frames_i.append(mask)
             lats_i.append(mask_latents(mask))
             # Laplace transitions, clipped to keep the square in frame
@@ -83,10 +140,17 @@ def main(argv=None):
     parser.add_argument("--frames", default=30, type=int)
     parser.add_argument("--image-size", default=64, type=int)
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--segmentation-noise", default=0.0, type=float,
+                        help="Strength of the segmentation-network "
+                             "noise model (boundary raggedness + holes "
+                             "+ speckle; 0 = clean analytic masks). "
+                             "~0.3 rehearses the real corpus's noisy-"
+                             "mask regime (paper band MCC 0.75-0.80).")
     args = parser.parse_args(argv)
 
     data = generate(args.n_sequences, args.frames, args.image_size,
-                    args.seed)
+                    args.seed,
+                    segmentation_noise=args.segmentation_noise)
     os.makedirs(args.output_dir, exist_ok=True)
     path = os.path.join(args.output_dir, "kitti_peds_v2.pickle")
     # Atomic write: an interrupt mid-dump must not leave a truncated

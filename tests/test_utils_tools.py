@@ -396,6 +396,28 @@ def test_make_synthetic_kitti_contract(tmp_path):
     assert len(ds) == 3 * (5 - 1)
 
 
+def test_make_synthetic_kitti_segmentation_noise():
+    """--segmentation-noise keeps the corpus contract (binary masks,
+    latents recomputed FROM the noisy mask) while actually perturbing
+    the masks; 0.0 is bit-identical to the clean generator."""
+    from cl_ica_tpu.tools.make_synthetic_kitti import generate, mask_latents
+
+    clean = generate(n_sequences=3, frames=5, size=64, seed=0)
+    noisy = generate(n_sequences=3, frames=5, size=64, seed=0,
+                     segmentation_noise=0.3)
+    zero = generate(n_sequences=3, frames=5, size=64, seed=0,
+                    segmentation_noise=0.0)
+    diff = sum(int((a != b).sum()) for a, b in
+               zip(clean["pedestrians"], noisy["pedestrians"]))
+    assert diff > 100  # the noise model actually perturbs masks
+    for a, b in zip(clean["pedestrians"], zero["pedestrians"]):
+        np.testing.assert_array_equal(a, b)
+    for seq, lat in zip(noisy["pedestrians"], noisy["pedestrians_latents"]):
+        assert set(np.unique(seq)) <= {0, 1}
+        for frame, l in zip(seq, lat):
+            np.testing.assert_allclose(mask_latents(frame), l)
+
+
 @pytest.mark.parametrize("periodic", [False, True])
 def test_generate_3dident_latents_contract(tmp_path, periodic):
     """raw (model-facing) + renderer-ordered latents.npy contracts

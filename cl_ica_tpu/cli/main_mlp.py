@@ -102,6 +102,15 @@ def parse_args(argv=None):
     parser.add_argument("--p", type=int, default=2,
                         help="Exponent of the assumed model Lp Exponential "
                              "distribution.")
+    parser.add_argument("--fused-loss", action="store_true",
+                        help="Route the InfoNCE loss through the Pallas "
+                             "streaming-logsumexp kernel "
+                             "(ops/infonce_pallas) instead of the "
+                             "materialized B×B XLA path — required for "
+                             "global batches where B²·4 bytes "
+                             "approaches HBM (B ≳ 32k single-chip). "
+                             "Default: auto (kernel for p∉{0,2} on "
+                             "TPU, measured-fastest path otherwise).")
     parser.add_argument("--batch-size", type=int, default=6144)
     parser.add_argument("--n-log-steps", type=int, default=250)
     parser.add_argument("--n-steps", type=int, default=100001)
@@ -301,10 +310,13 @@ def run_ensemble(args):
     print(f"Ensemble over seeds: {seed_list}")
 
     latent_space = build_latent_space(args)
+    fused = True if args.fused_loss else None
     if args.p:
-        loss = LpSimCLRLoss(p=args.p, tau=args.tau, simclr_compatibility_mode=True)
+        loss = LpSimCLRLoss(p=args.p, tau=args.tau,
+                            simclr_compatibility_mode=True, use_fused=fused)
     else:
-        loss = SimCLRLoss(normalize=False, tau=args.tau)
+        loss = SimCLRLoss(normalize=False, tau=args.tau,
+                          use_fused=bool(fused))
 
     gs = [
         construct_invertible_mlp(
@@ -574,10 +586,13 @@ def main(argv=None):
 
     latent_space = build_latent_space(args)
 
+    fused = True if args.fused_loss else None
     if args.p:
-        loss = LpSimCLRLoss(p=args.p, tau=args.tau, simclr_compatibility_mode=True)
+        loss = LpSimCLRLoss(p=args.p, tau=args.tau,
+                            simclr_compatibility_mode=True, use_fused=fused)
     else:
-        loss = SimCLRLoss(normalize=False, tau=args.tau)
+        loss = SimCLRLoss(normalize=False, tau=args.tau,
+                          use_fused=bool(fused))
 
     g = construct_invertible_mlp(
         n=args.n,

@@ -151,9 +151,14 @@ class LpSimCLRLoss(CLLoss):
 
     def _fused_ok(self) -> bool:
         p = float(self.p)
-        eligible = p >= 1.0 and p != 2.0 and self.pow
+        eligible = p >= 1.0 and self.pow
         if self.use_fused is None:
-            return eligible and jax.default_backend() == "tpu"
+            # auto routes p!=2 only: the p=2 MXU-tile kernel exists
+            # (ops/infonce_pallas.py) but the materialized XLA matmul
+            # path holds the measured headline at reference batch
+            # sizes (tools/bench_infonce_fused.py) — opt in explicitly
+            # for global-batch runs where B² would blow HBM.
+            return eligible and p != 2.0 and jax.default_backend() == "tpu"
         return self.use_fused and eligible
 
     def loss(self, z1, z2_con_z1, z3, z1_rec, z2_con_z1_rec, z3_rec):

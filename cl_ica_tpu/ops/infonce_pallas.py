@@ -22,7 +22,10 @@ backward:  dz1_i = -(p/τ)·c_i·Σ_j w_ij |Δ|^{p-1} sgn(Δ),
 
 Supports p ≥ 1 with the reference's pow=True semantics; other cases fall
 back to the jnp path in losses.infonce. Grads for p=1 use sgn(Δ) with
-sgn(0)=0 (torch subgradient parity).
+sgn(0)=0 (torch subgradient parity). p=2 is fully MXU-resident: the
+distance tile is the dot identity (one systolic pass) and both backward
+weighted-difference sums decompose into tile matmuls plus rank-1 terms
+(see _dz1_kernel/_dz3_kernel) — flash-attention structure, Lp flavor.
 """
 
 from __future__ import annotations
@@ -41,16 +44,27 @@ def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
 def _dist_tile(z1_blk, z3t_blk, p: float, n_feat: int):
-    """(BM, BN) Lp^p distances from z1 (BM, n) and z3ᵀ (n, BN) blocks,
-    unrolled over the feature dim (n VPU passes over the tile)."""
+    """(BM, BN) Lp^p distances from z1 (BM, n) and z3ᵀ (n, BN) blocks.
+
+    p == 2 rides the MXU via the dot identity ||a-b||² = |a|² + |b|²
+    - 2a·b — one systolic pass per tile, same identity (and the same
+    'highest' precision) as the jnp path in losses.pairwise_lp_distance.
+    Other p unroll over the feature dim (n VPU passes over the tile)."""
     bm, bn = z1_blk.shape[0], z3t_blk.shape[1]
+    if p == 2.0:
+        sq1 = jnp.sum(z1_blk * z1_blk, axis=1)  # (BM,)
+        sq3 = jnp.sum(z3t_blk * z3t_blk, axis=0)  # (BN,)
+        cross = jnp.dot(z1_blk, z3t_blk, precision=_HIGHEST,
+                        preferred_element_type=jnp.float32)
+        return jnp.maximum(sq1[:, None] + sq3[None, :] - 2.0 * cross, 0.0)
     d = jnp.zeros((bm, bn), dtype=jnp.float32)
     for k in range(n_feat):
         diff = z1_blk[:, k][:, None] - z3t_blk[k, :][None, :]
-        if p == 2.0:
-            d += diff * diff
-        elif p == 1.0:
+        if p == 1.0:
             d += jnp.abs(diff)
         else:
             d += jnp.abs(diff) ** p
@@ -110,9 +124,21 @@ def _dz1_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * bn
     w = jnp.where(col < nvalid_ref[0], w, 0.0)
     scale = (-p / tau) * ct_ref[:, 0]  # (BM,)
-    for k in range(n_feat):
-        diff = z1_blk[:, k][:, None] - z3t_blk[k, :][None, :]
-        acc[:, k] += scale * jnp.sum(w * _grad_tile(diff, p), axis=1)
+    if p == 2.0:
+        # Σ_j w_ij (z1_i - z3_j) = z1_i·rowsum(w)_i - (w @ z3)_i: the
+        # weighted-negative sum is one MXU contraction over BN instead
+        # of n VPU reduction passes. dot_general contracts w's dim 1
+        # with z3ᵀ's dim 1 — no materialized transpose.
+        rs = jnp.sum(w, axis=1)  # (BM,)
+        wz3 = jax.lax.dot_general(
+            w, z3t_blk, (((1,), (1,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32,
+        )  # (BM, n)
+        acc[:] += scale[:, None] * (z1_blk * rs[:, None] - wz3)
+    else:
+        for k in range(n_feat):
+            diff = z1_blk[:, k][:, None] - z3t_blk[k, :][None, :]
+            acc[:, k] += scale * jnp.sum(w * _grad_tile(diff, p), axis=1)
 
     @pl.when(j == nj - 1)
     def _():
@@ -138,9 +164,19 @@ def _dz3_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * bm
     w = jnp.where(row < nvalid_ref[0], w, 0.0)
     cw = w * ct_ref[:, 0][:, None]  # (BM, BN)
-    for k in range(n_feat):
-        diff = z1_blk[:, k][:, None] - z3t_blk[k, :][None, :]
-        acc[k, :] += (p / tau) * jnp.sum(cw * _grad_tile(diff, p), axis=0)
+    if p == 2.0:
+        # Σ_i cw_ij (z1_i - z3_j) = (z1ᵀ @ cw)_j - z3_j·colsum(cw)_j:
+        # MXU contraction over BM (z1's dim 0 with cw's dim 0).
+        cs = jnp.sum(cw, axis=0)  # (BN,)
+        z1cw = jax.lax.dot_general(
+            z1_blk, cw, (((0,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32,
+        )  # (n, BN)
+        acc[:] += (p / tau) * (z1cw - z3t_blk * cs[None, :])
+    else:
+        for k in range(n_feat):
+            diff = z1_blk[:, k][:, None] - z3t_blk[k, :][None, :]
+            acc[k, :] += (p / tau) * jnp.sum(cw * _grad_tile(diff, p), axis=0)
 
     @pl.when(i == ni - 1)
     def _():

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--p", type=float, default=2.0)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 Linear stack (main_mlp --bf16)")
+    ap.add_argument("--fused-loss", action="store_true",
+                    help="route the loss through the Pallas streaming-"
+                         "logsumexp kernel (ops/infonce_pallas) instead "
+                         "of the materialized B×B XLA path")
     args = ap.parse_args()
 
     import optax
@@ -53,9 +57,12 @@ def main():
         "--p", str(int(args.p)), "--only-unsupervised", "--seed", "0",
     ])
     latent_space = build_latent_space(cli)
+    fused = True if args.fused_loss else None
     loss = (
-        LpSimCLRLoss(p=cli.p, tau=cli.tau, simclr_compatibility_mode=True)
-        if cli.p else SimCLRLoss(normalize=False, tau=cli.tau)
+        LpSimCLRLoss(p=cli.p, tau=cli.tau, simclr_compatibility_mode=True,
+                     use_fused=fused)
+        if cli.p else SimCLRLoss(normalize=False, tau=cli.tau,
+                                 use_fused=bool(fused))
     )
     np_rng = np.random.default_rng(0)
     g = construct_invertible_mlp(

@@ -147,18 +147,19 @@ class LpSimCLRLoss(CLLoss):
     simclr_compatibility_mode: bool = False
     pow: bool = True
     block_size: Optional[int] = 1024
-    use_fused: Optional[bool] = None  # None = auto (TPU, p>=1, p!=2, pow)
+    use_fused: Optional[bool] = None  # None = auto (TPU, p>=1, pow)
 
     def _fused_ok(self) -> bool:
         p = float(self.p)
         eligible = p >= 1.0 and self.pow
         if self.use_fused is None:
-            # auto routes p!=2 only: the p=2 MXU-tile kernel exists
-            # (ops/infonce_pallas.py) but the materialized XLA matmul
-            # path holds the measured headline at reference batch
-            # sizes (tools/bench_infonce_fused.py) — opt in explicitly
-            # for global-batch runs where B² would blow HBM.
-            return eligible and p != 2.0 and jax.default_backend() == "tpu"
+            # auto routes every p>=1 through the Pallas kernel on TPU,
+            # including p=2 since its MXU-tile variant landed: measured
+            # 8.1x on the loss fwd+bwd and 1.30x e2e on the headline
+            # MLP step at the reference batch 6144 (B² HBM traffic
+            # eliminated — tools/bench_infonce_fused.py, EXPERIMENTS
+            # r4); at B=65k the materialized path cannot even compile.
+            return eligible and jax.default_backend() == "tpu"
         return self.use_fused and eligible
 
     def loss(self, z1, z2_con_z1, z3, z1_rec, z2_con_z1_rec, z3_rec):

@@ -219,7 +219,9 @@ def parse_args(argv=None):
             raise SystemExit("--scan: the --mesh path has its own "
                              "sharded per-step program; scanned mesh "
                              "segments are not implemented — drop one")
-        if os.environ.get("CL_ICA_TPU_DEBUG"):
+        from ..utils import debug_enabled
+
+        if debug_enabled():  # same "=1" test checkify_wrap keys off
             raise SystemExit("--scan: checkify NaN guards functionalize "
                              "per-step jits, not scan bodies; unset "
                              "CL_ICA_TPU_DEBUG or drop --scan")
@@ -682,6 +684,19 @@ def main(argv=None):
         from ..train.trainer import MAX_SCAN_LEN, make_chunked_steps
 
         use_store = getattr(sampler, "device_store", None) is not None
+        if not use_store and g_jit is None:
+            # Host-prefetch image path (packed store larger than the
+            # device_image_budget, data/threedident.py:259): the scan
+            # body cannot call back into the host pipeline, and falling
+            # through would feed raw latents to the conv encoder. Keep
+            # the failure loud like every other unsupported --scan combo.
+            raise SystemExit(
+                "--scan: the image store exceeds the on-device budget so "
+                "batches come from the host prefetch pipeline, which a "
+                "fused lax.scan body cannot drive. Drop --scan (eager "
+                "loop supports host prefetch), use --mesh to shard the "
+                "store across chips, or raise the device image budget."
+            )
 
         def jit_scan(length):
             def run(carry, store):

@@ -133,6 +133,9 @@ def pack_images(
                 store[i] = np.asarray(im, dtype=np.uint8)
         return hi - lo
 
+    chunk_imgs = lambda ci: min(n, (ci + 1) * chunk) - ci * chunk
+    todo_imgs = sum(chunk_imgs(ci) for ci in todo)
+    done_imgs = sum(chunk_imgs(ci) for ci in done)
     t0 = time.time()
     packed_imgs = 0
     last_print = t0
@@ -140,16 +143,21 @@ def pack_images(
         futures = {ex.submit(decode_chunk, ci): ci for ci in todo}
         for fut in as_completed(futures):
             packed_imgs += fut.result()
-            # chunk complete -> durable manifest line (resume marker)
+            # Durability order matters: the chunk's store pages must hit
+            # disk BEFORE its manifest line does, or a power loss could
+            # leave a durable "done" marker over lost bytes and resume
+            # would publish a store with garbage rows. memmap.flush() is
+            # msync — only dirty pages write, so the per-chunk cost
+            # amortizes to one write per page overall.
+            store.flush()
             manifest.write(f"{futures[fut]}\n")
             manifest.flush()
             os.fsync(manifest.fileno())
             now = time.time()
-            if progress and (now - last_print > 5 or packed_imgs == n):
+            if progress and (now - last_print > 5 or packed_imgs == todo_imgs):
                 rate = packed_imgs / max(now - t0, 1e-9)
-                remaining = len(todo) * chunk - packed_imgs
-                eta = remaining / max(rate, 1e-9)
-                print(f"pack_images: {packed_imgs + len(done) * chunk}"
+                eta = (todo_imgs - packed_imgs) / max(rate, 1e-9)
+                print(f"pack_images: {packed_imgs + done_imgs}"
                       f"/{n} imgs, {rate:.0f} img/s, ETA {eta:.0f}s",
                       flush=True)
                 last_print = now
@@ -256,7 +264,11 @@ class ThreeDIdentBatchSampler:
         if load_images and self.images is not None and self.images._packed is not None:
             packed = self.images._packed
             if device_images is None:
-                device_images = packed.nbytes <= device_image_budget_bytes
+                budget = int(os.environ.get(
+                    "CL_ICA_TPU_DEVICE_IMAGE_BUDGET",
+                    device_image_budget_bytes,
+                ))
+                device_images = packed.nbytes <= budget
             if device_images:
                 self.device_store = jnp.asarray(np.asarray(packed))
 

@@ -184,6 +184,42 @@ def test_main_3dident_scan_guards():
              "--offline-dataset", "x"])
 
 
+def test_main_3dident_scan_debug_guard(monkeypatch):
+    """The --scan/debug guard keys off debug_enabled() semantics:
+    CL_ICA_TPU_DEBUG=0 is debug OFF (utils/debug.py) and must not trip
+    it; =1 must (r4 review)."""
+    from cl_ica_tpu.cli import main_3dident
+
+    argv = ["--mode", "unsupervised", "--scan", "--offline-dataset", "x"]
+    monkeypatch.setenv("CL_ICA_TPU_DEBUG", "0")
+    main_3dident.parse_args(argv)  # "0" = off: must not raise
+    monkeypatch.setenv("CL_ICA_TPU_DEBUG", "1")
+    with pytest.raises(SystemExit, match="checkify"):
+        main_3dident.parse_args(argv)
+
+
+def test_main_3dident_scan_host_prefetch_guard(tmp_path):
+    """--scan when the packed store exceeds the device budget (forced
+    via CL_ICA_TPU_DEVICE_IMAGE_BUDGET=0): the sampler falls back to the
+    host prefetch pipeline, which a scan body cannot drive — must exit
+    loudly instead of feeding raw latents to the conv encoder
+    (r4 review)."""
+    root = _mesh_fixture(tmp_path)
+    r = _run_env(
+        [
+            "cl_ica_tpu.cli.main_3dident", "--mode", "unsupervised",
+            "--offline-dataset", str(root),
+            "--non-periodic-rotation-and-color",
+            "--batch-size", "8", "--iterations", "4",
+            "--n-log-steps", "2", "--n-eval-samples", "16",
+            "--seed", "0", "--scan",
+        ],
+        {"CL_ICA_TPU_DEVICE_IMAGE_BUDGET": "0"},
+    )
+    assert r.returncode != 0
+    assert "host prefetch" in (r.stdout + r.stderr)
+
+
 def test_main_3dident_mesh_trains_and_evals_sharded(tmp_path):
     """--mesh 8 on a virtual 8-CPU mesh: mesh-sharded store, uint8
     reduce-scatter batch gather, row-sharded encoder, AND the sharded

@@ -1,8 +1,10 @@
-"""Fused-vs-materialized InfoNCE loss benchmark (p=2 MXU kernel).
+"""Fused-vs-materialized InfoNCE loss benchmark.
 
 Times ONE loss fwd+bwd (grads w.r.t. all three reconstruction inputs,
-the shape the encoder backward consumes) for the p=2 LpSimCLR headline
-loss, comparing:
+the shape the encoder backward consumes) for the LpSimCLR loss at the
+given --p (default 2, the MXU-tile kernel; --p 0 benches the
+dot-product SimCLR path: ops.fused_dot_lse vs the materialized MXU
+matmul+logsumexp), comparing:
 
   jnp    — losses.pairwise_lp_distance: B×B distances materialized in
            HBM via the MXU matmul identity (reference losses.py:436-450
@@ -40,9 +42,13 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--batches", type=str, default="6144,16384,65536")
     ap.add_argument("--tau", type=float, default=1.0)
+    ap.add_argument("--p", type=float, default=2.0,
+                    help="loss order; 0 benches the dot-product SimCLR "
+                         "path (ops.fused_dot_lse vs materialized MXU "
+                         "matmul+logsumexp)")
     args = ap.parse_args()
 
-    from cl_ica_tpu.losses import LpSimCLRLoss
+    from cl_ica_tpu.losses import LpSimCLRLoss, SimCLRLoss
 
     print(f"backend: {jax.default_backend()}", flush=True)
     rng = np.random.default_rng(0)
@@ -53,17 +59,20 @@ def main():
         z3 = jnp.asarray(rng.normal(size=(b, args.n)), jnp.float32)
 
         for variant, use_fused in (("jnp", False), ("fused", True)):
-            loss_obj = LpSimCLRLoss(
-                p=2.0, tau=args.tau, simclr_compatibility_mode=True,
-                use_fused=use_fused,
-            )
+            if args.p == 0:
+                loss_obj = SimCLRLoss(tau=args.tau, use_fused=use_fused)
+            else:
+                loss_obj = LpSimCLRLoss(
+                    p=args.p, tau=args.tau, simclr_compatibility_mode=True,
+                    use_fused=use_fused,
+                )
 
             def objective(a, bb, c):
                 total, _, _ = loss_obj.loss(None, None, None, a, bb, c)
                 return total
 
             step = jax.jit(jax.value_and_grad(objective, argnums=(0, 1, 2)))
-            rec = {"b": b, "n": args.n, "variant": variant}
+            rec = {"b": b, "n": args.n, "p": args.p, "variant": variant}
             try:
                 val, grads = step(z1, z2, z3)
                 lv = float(val)  # sync + warmup

@@ -140,11 +140,15 @@ def cell_argv(c, args):
 
 
 _SEED_RE = re.compile(
-    r"\[seed (\d+)\] (linear|perm) mean: ([0-9.eE+-]+) std: ([0-9.eE+-]+)"
+    r"\[seed (\d+)\] (linear|perm) mean: ([0-9.eE+-]+|nan|inf|-inf) "
+    r"std: ([0-9.eE+-]+|nan|inf|-inf)"
 )
 
 
 def parse_scores(stdout):
+    """Per-seed final scores from the ensemble's stdout. NaN/inf (a
+    collapsed seed) parse as float('nan')/inf so the cell records the
+    divergence instead of silently averaging the surviving seeds."""
     lin, perm = {}, {}
     for m in _SEED_RE.finditer(stdout):
         seed, kind, mean = int(m.group(1)), m.group(2), float(m.group(3))
@@ -220,9 +224,14 @@ def main(argv=None):
             results[key] = dict(c, ok=False, rc=proc.returncode)
         else:
             lin, perm = parse_scores(proc.stdout)
+            complete = len(lin) == args.seeds and len(perm) == args.seeds
+            if not complete:
+                print(f"  WARNING: parsed {len(lin)} linear / {len(perm)} "
+                      f"perm seed scores (expected {args.seeds}) — marking "
+                      f"cell incomplete", flush=True)
             results[key] = dict(
                 c,
-                ok=True,
+                ok=complete,
                 steps=args.steps,
                 wall_s=round(time.time() - t0, 1),
                 linear_per_seed=lin,

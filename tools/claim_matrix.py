@@ -174,6 +174,9 @@ def main(argv=None):
                     help="re-run cells even if results.json marks them "
                          "ok (e.g. to extend unconverged cells with a "
                          "longer --steps; the new result overwrites)")
+    ap.add_argument("--table-only", action="store_true",
+                    help="render the markdown table from the existing "
+                         "results.json and exit (no training)")
     args = ap.parse_args(argv)
     if args.quick:
         args.steps, args.log_steps, args.batch_size, args.n = 200, 100, 256, 3
@@ -186,6 +189,9 @@ def main(argv=None):
             results = json.load(fh)
 
     cells = build_cells()
+    if args.table_only:
+        render_table(results, cells)
+        return
     print(f"claim matrix: {len(cells)} cells x {args.seeds} seeds, "
           f"{args.steps} steps each ({len(results)} already done)", flush=True)
 
@@ -255,8 +261,8 @@ def render_table(results, cells):
         (sum((v - mean(d)) ** 2 for v in d.values()) / max(len(d), 1)) ** 0.5
     )
     print("\n| space | marginal | conditional | loss p | match | theory | "
-          "linear R2 | MCC |")
-    print("|---|---|---|---|---|---|---|---|")
+          "steps | linear R2 | MCC |")
+    print("|---|---|---|---|---|---|---|---|---|")
     mnames = {0: "uniform", 1: "laplace", 2: "normal", 3: "gennorm3"}
     cnames = {0: "vMF", 1: "laplace", 2: "normal", 3: "gennorm3"}
     for c in cells:
@@ -264,13 +270,13 @@ def render_table(results, cells):
         if not r or not r.get("ok"):
             row = "— failed —"
             print(f"| {c['space']} | {mnames[c['m_p']]} | {cnames[c['c_p']]} "
-                  f"| {c['p']} | {c['match']} | {c['theory']} | {row} | {row} |")
+                  f"| {c['p']} | {c['match']} | {c['theory']} | | {row} | {row} |")
             continue
         lin = {int(k): v for k, v in r["linear_per_seed"].items()}
         perm = {int(k): v for k, v in r["perm_per_seed"].items()}
         print(
             f"| {c['space']} | {mnames[c['m_p']]} | {cnames[c['c_p']]} "
-            f"| {c['p']} | {c['match']} | {c['theory']} "
+            f"| {c['p']} | {c['match']} | {c['theory']} | {r.get('steps', '?')} "
             f"| {mean(lin):.4f} ± {std(lin):.4f} "
             f"| {mean(perm):.4f} ± {std(perm):.4f} |"
         )

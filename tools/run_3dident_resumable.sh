@@ -19,6 +19,13 @@ shift 4
 cd "$(dirname "$0")/.."
 # append (never override) so the host's TPU-routing sitecustomize stays
 export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}
+# Cap one device dispatch at ~150 scanned ResNet steps (~19 s chip time
+# at 0.125 s/step). Evidence for a per-dispatch wall-time watchdog on
+# the remote-TPU relay: a 20k-step MLP scan (~52 s) crashed the worker
+# in r1 bring-up while 10k (~26 s) is proven stable, and r4's 1000-step
+# ResNet segments (~125 s) crashed deterministically in the first
+# segment. Overridable: callers may export a different value.
+export CL_ICA_TPU_MAX_SCAN_LEN=${CL_ICA_TPU_MAX_SCAN_LEN:-150}
 mkdir -p "$OUT"
 MAX_TRIES=40
 try=0

@@ -196,6 +196,14 @@ class Solver:
         self._step = step
         self._apply_jit = jax.jit(self.net.apply)
 
+        # --resume: continue a run from --ckpt-name. The reference keeps
+        # the equivalent load behind dead code (solver.py:42-43
+        # `if False and ...`); we wire it for real, restoring
+        # {iter, params, optim, RNG} so the resumed trajectory is
+        # step-identical to an uninterrupted one (tests/test_resume.py).
+        if getattr(args, "resume", False):
+            self.load_checkpoint(args.ckpt_name)
+
     def train(self) -> bool:
         failure = False
         running_loss = 0.0
@@ -272,8 +280,15 @@ class Solver:
             "optim_states": {"optim": jax.tree.map(np.asarray, self.opt_state)},
         }
         file_path = os.path.join(self.ckpt_dir, filename)
-        with open(file_path, "wb") as fh:
-            pickle.dump(states, fh)
+        with open(file_path + ".tmp", "wb") as fh:
+            # RNG rides the pickle only (np PCG64 state holds 128-bit
+            # ints an Orbax array pytree cannot carry); extra key on the
+            # reference-shaped dict, harmless to reference-style readers
+            pickle.dump({**states, "rng": {
+                "key": np.asarray(self.key),
+                "np_state": self.np_rng.bit_generator.state,
+            }}, fh)
+        os.replace(file_path + ".tmp", file_path)
         # Orbax artifact alongside the reference-shaped pickle
         # (SURVEY.md §5: one shared checkpoint layer)
         save_pytree(file_path + ".orbax", states)
@@ -309,6 +324,10 @@ class Solver:
             self.opt_state = jax.tree.map(
                 jnp.asarray, ckpt["optim_states"]["optim"]
             )
+            if "rng" in ckpt:  # full-fidelity resume (absent in
+                # reference-written pickles: those restart the streams)
+                self.key = jnp.asarray(ckpt["rng"]["key"])
+                self.np_rng.bit_generator.state = ckpt["rng"]["np_state"]
             print(f"=> loaded checkpoint '{file_path} (iter {self.global_iter})'")
         else:
             print(f"=> no checkpoint found at '{file_path}'")

@@ -91,6 +91,12 @@ def build_parser():
                         help="Adam optimizer beta2")
     parser.add_argument("--ckpt-name", default="last", type=str,
                         help="load previous checkpoint. insert checkpoint filename")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="continue training from --ckpt-name, restoring "
+                             "{iter, params, optim, RNG} — trajectory "
+                             "identical to an uninterrupted run (the "
+                             "reference's equivalent load is dead code, "
+                             "solver.py:42-43)")
     parser.add_argument("--log-step", default=1000, type=int,
                         help="numer of iterations after which data is logged")
     parser.add_argument("--profile-dir", type=str, default=None,

@@ -91,13 +91,21 @@ def build_cells():
 
     # --- box: uniform marginal, box-norm head (reference protocol) ---
     add(BOX, 1, 0.05, 1, "matched", "perm")
-    add(BOX, 1, 0.05, 2, "mismatched", "none")
+    # Box mismatched-p cells: the bounded support itself breaks
+    # rotational symmetry, so the paper reports HIGH MCC for the box
+    # even with mismatched loss p (its appendix box tables) — the
+    # mismatch costs convergence speed, not the asymptote. Measured
+    # here (r4, 100k steps): cp1/p2 reaches 0.993 after sitting at
+    # 0.71 at 30k. Labeled perm-slow to distinguish from sphere/
+    # unbounded mismatches, which degrade for real (rotation floor
+    # ~0.6 / 0.51-0.59 measured).
+    add(BOX, 1, 0.05, 2, "mismatched", "perm-slow")
     # normal conditional is isotropic but the box boundary breaks
     # rotational symmetry — the paper reports high MCC here.
     add(BOX, 2, 0.05, 2, "matched", "perm")
-    add(BOX, 2, 0.05, 1, "mismatched", "none")
+    add(BOX, 2, 0.05, 1, "mismatched", "perm-slow")
     add(BOX, 3, 0.05, 3, "matched", "degenerate")
-    add(BOX, 3, 0.05, 2, "mismatched", "none")
+    add(BOX, 3, 0.05, 2, "mismatched", "perm-slow")
 
     # --- unbounded: Normal marginal (m-p=2), no output constraint.
     # c-param 0.1 is the EXPERIMENTS r2 sweep's paper-band config.

@@ -112,6 +112,10 @@ def parse_args(argv=None):
                              "batch 6144 and required for B ≳ 32k "
                              "where B²·4 bytes blows HBM); p=0 SimCLR "
                              "stays on the materialized MXU path.")
+    parser.add_argument("--no-fused-loss", action="store_true",
+                        help="Force the materialized B×B XLA loss path, "
+                             "overriding the TPU auto-route (A/B "
+                             "debugging / kernel-suspect escape hatch).")
     parser.add_argument("--batch-size", type=int, default=6144)
     parser.add_argument("--n-log-steps", type=int, default=250)
     parser.add_argument("--n-steps", type=int, default=100001)
@@ -170,10 +174,14 @@ def parse_args(argv=None):
         if args.resume_training:
             raise SystemExit("--resume-training is per-run; not "
                              "supported with --seeds")
-        if args.resume or args.save_every:
-            raise SystemExit("--resume/--save-every checkpoint the "
-                             "single-run TrainState; not supported "
-                             "with --seeds yet")
+        if (args.resume or args.save_every) and not (
+            args.only_unsupervised or args.only_supervised
+        ):
+            raise SystemExit(
+                "--resume/--save-every with --seeds checkpoints one "
+                "training phase; pass --only-unsupervised or "
+                "--only-supervised (the multi-phase sup->unsup flow "
+                "is not resumable for the ensemble yet)")
     if (args.resume or args.save_every) and not args.save_dir:
         raise SystemExit("--resume/--save-every need --save-dir (the "
                          "checkpoint lives there)")
@@ -310,8 +318,25 @@ def run_ensemble(args):
     seed_list = [base + i for i in range(S)]
     print(f"Ensemble over seeds: {seed_list}")
 
+    # full-fidelity ensemble resume (--save-every/--resume with --seeds):
+    # one crash-consistent artifact holding the stacked TrainState, the
+    # per-seed RNG keys, and the (steps, S) loss history. Single-phase
+    # only (guarded in parse_args) — the claim-matrix protocol's shape.
+    resume_dir = (os.path.join(args.save_dir, "resume_ens")
+                  if args.save_dir and (args.resume or args.save_every)
+                  else None)
+    resume_found = None
+    if args.resume and resume_dir:
+        from ..train.checkpoint import load_resume_meta
+
+        resume_found = load_resume_meta(resume_dir)
+        if resume_found is None:
+            print("--resume: no ensemble checkpoint found; starting "
+                  "fresh", flush=True)
+
     latent_space = build_latent_space(args)
-    fused = True if args.fused_loss else None
+    fused = (False if args.no_fused_loss
+             else True if args.fused_loss else None)
     if args.p:
         loss = LpSimCLRLoss(p=args.p, tau=args.tau,
                             simclr_compatibility_mode=True, use_fused=fused)
@@ -340,14 +365,18 @@ def run_ensemble(args):
     # identity-solution sanity per seed: one compiled forward shared by
     # all lanes (weights are an argument, not a constant)
     g_fwd = jax.jit(mixing_apply)
-    for i, s in enumerate(seed_list):
-        lin0, perm0 = evaluate_scores(
-            latent_space,
-            lambda z: g_fwd(jax.tree.map(lambda a: a[i], weights_stack), z),
-            jax.random.PRNGKey(s + 1),
-        )
-        print(f"[seed {s}] Id. Lin. Disentanglement: {lin0:.4f}\t"
-              f"Id. Perm. Disentanglement: {perm0:.4f}")
+    if resume_found is None:
+        for i, s in enumerate(seed_list):
+            lin0, perm0 = evaluate_scores(
+                latent_space,
+                lambda z: g_fwd(jax.tree.map(lambda a: a[i], weights_stack), z),
+                jax.random.PRNGKey(s + 1),
+            )
+            print(f"[seed {s}] Id. Lin. Disentanglement: {lin0:.4f}\t"
+                  f"Id. Perm. Disentanglement: {perm0:.4f}")
+    else:
+        print("(resuming: identity-solution sanity evals skipped — "
+              "they are deterministic in the seed and already logged)")
 
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
@@ -419,6 +448,43 @@ def run_ensemble(args):
         eval_fwd = jax.jit(lambda p, w, z: f.apply(p, mixing_apply(w, z)))
 
         losses = []  # list of (S,) per-step losses
+        last_saved = 0
+        if resume_found is not None:
+            from ..train.checkpoint import restore_pytree
+
+            artifact, raw = resume_found
+            target = {
+                "state": states,
+                "root_keys": jnp.stack(root_keys),
+                "step": np.asarray(0, np.int64),
+                "losses": np.zeros_like(np.asarray(raw["losses"])),
+            }
+            restored = restore_pytree(artifact, target)
+            states = restored["state"]
+            rk = restored["root_keys"]
+            for i in range(S):
+                root_keys[i] = rk[i]
+            losses = [row for row in np.asarray(restored["losses"])]
+            last_saved = len(losses)
+            print(f"Resuming ensemble at step {len(losses)}", flush=True)
+
+        def save_resume(force=False):
+            nonlocal last_saved
+            if not (resume_dir and args.save_every):
+                return
+            if not force and len(losses) - last_saved < args.save_every:
+                return
+            from ..train.checkpoint import save_resume_state
+
+            save_resume_state(resume_dir, len(losses), {
+                "state": states,
+                "root_keys": jnp.stack(root_keys),
+                "step": np.asarray(len(losses), np.int64),
+                "losses": (np.stack(losses) if losses
+                           else np.zeros((0, S), np.float32)),
+            })
+            last_saved = len(losses)
+
         throughput = Throughput()
 
         def run_chunk(fn, n):
@@ -473,16 +539,20 @@ def run_ensemble(args):
             return lins, perms
 
         n_steps = args.n_steps if test else args.n_steps * args.more_unsupervised
+        phase_done_on_restore = len(losses) >= n_steps
         with trace_context(args.profile_dir):
-            run_chunk(step_1, 1)
-            do_eval()
+            if not losses:
+                run_chunk(step_1, 1)
+                do_eval()
             while len(losses) + args.n_log_steps <= n_steps:
                 run_chunk(step_chunk, args.n_log_steps)
                 do_eval()
+                save_resume()
             while len(losses) < n_steps:
                 run_chunk(step_1, 1)
-        if len(losses) % args.n_log_steps != 1:
+        if len(losses) % args.n_log_steps != 1 and not phase_done_on_restore:
             do_eval()
+        save_resume(force=True)
 
         if args.save_dir:
             import pickle
@@ -587,7 +657,8 @@ def main(argv=None):
 
     latent_space = build_latent_space(args)
 
-    fused = True if args.fused_loss else None
+    fused = (False if args.no_fused_loss
+             else True if args.fused_loss else None)
     if args.p:
         loss = LpSimCLRLoss(p=args.p, tau=args.tau,
                             simclr_compatibility_mode=True, use_fused=fused)

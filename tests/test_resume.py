@@ -85,11 +85,41 @@ def test_mlp_phase_boundary_resume(tmp_path, monkeypatch):
 def test_mlp_resume_guards():
     with pytest.raises(SystemExit):
         main_mlp.parse_args(BASE + ["--resume"])  # no --save-dir
+    # ensemble resume is single-phase only: multi-phase (default
+    # sup->unsup) still refuses, single-phase parses
     with pytest.raises(SystemExit):
         main_mlp.parse_args(
             BASE + ["--seeds", "2", "--save-every", "100",
                     "--save-dir", "/tmp/x"]
         )
+    main_mlp.parse_args(
+        BASE + ["--only-unsupervised", "--seeds", "2",
+                "--save-every", "100", "--save-dir", "/tmp/x"]
+    )
+
+
+def test_mlp_ensemble_midphase_resume_matches_uninterrupted(
+        tmp_path, monkeypatch):
+    """Ensemble (--seeds) full-state resume: kill after a mid-phase
+    checkpoint, resume, final per-seed scores must be step-identical
+    to the uninterrupted ensemble (r4: claim-matrix crash recovery)."""
+    argv = BASE + ["--only-unsupervised", "--seeds", "2",
+                   "--save-every", "100"]
+    ref_dir = str(tmp_path / "ref")
+    ref_scores = _run(argv + ["--save-dir", ref_dir])
+
+    run_dir = str(tmp_path / "resumed")
+    # chunk-boundary saves at 101, 201, 301, then the force-save at 400:
+    # die at the second, so LATEST is step 101 and ~300 steps replay
+    _crash_before_save(monkeypatch, 2)
+    with pytest.raises(KeyboardInterrupt):
+        _run(argv + ["--save-dir", run_dir])
+    _, meta = ckpt_mod.load_resume_meta(os.path.join(run_dir, "resume_ens"))
+    assert int(meta["step"]) == 101
+
+    monkeypatch.undo()
+    res_scores = _run(argv + ["--save-dir", run_dir, "--resume"])
+    np.testing.assert_allclose(res_scores, ref_scores, atol=1e-6)
 
 
 def test_mlp_resume_completed_run_refuses(tmp_path):

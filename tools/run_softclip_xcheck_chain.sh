@@ -35,7 +35,10 @@ jax_run() {  # $1 = dir suffix, $2... = extra flags
   local tag=$1; shift
   [ -f "$OUT/jax_$tag/log.csv" ] && { echo "jax_$tag exists, skip"; return; }
   echo "=== jax $tag (our stack, dummy-mixing latent path)"
-  PYTHONPATH=/root/repo nice -n 19 python -u -m cl_ica_tpu.cli.main_3dident \
+  # Replacing PYTHONPATH drops the axon sitecustomize hook, but the
+  # global JAX_PLATFORMS=axon export remains — without the plugin that
+  # fails backend init. Force the local CPU backend explicitly.
+  JAX_PLATFORMS=cpu PYTHONPATH=/root/repo nice -n 19 python -u -m cl_ica_tpu.cli.main_3dident \
     --mode unsupervised --dummy-mixing \
     --offline-dataset fixtures/td_nonper_16k_8 \
     --non-periodic-rotation-and-color --non-periodical-conditional l1 \

@@ -342,7 +342,7 @@ def run_ensemble(args):
                             simclr_compatibility_mode=True, use_fused=fused)
     else:
         loss = SimCLRLoss(normalize=False, tau=args.tau,
-                          use_fused=bool(fused))
+                          use_fused=fused)
 
     gs = [
         construct_invertible_mlp(
@@ -664,7 +664,7 @@ def main(argv=None):
                             simclr_compatibility_mode=True, use_fused=fused)
     else:
         loss = SimCLRLoss(normalize=False, tau=args.tau,
-                          use_fused=bool(fused))
+                          use_fused=fused)
 
     g = construct_invertible_mlp(
         n=args.n,

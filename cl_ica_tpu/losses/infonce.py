@@ -96,15 +96,23 @@ class CLLoss(ABC):
 class SimCLRLoss(CLLoss):
     """Dot-product InfoNCE (losses.py:162-202).
 
-    use_fused=True streams the B×B similarity through the Pallas kernel
-    (ops.fused_dot_lse) instead of materializing it — required once
-    B²·4 bytes approaches HBM (B ≳ 32k); at reference batch sizes the
-    XLA-fused matmul path is faster, so the default stays False."""
+    use_fused streams the B×B similarity through the Pallas kernel
+    (ops.fused_dot_lse) instead of materializing it. None = auto: fused
+    on TPU — measured 9.5× faster at the reference batch (B=6144:
+    21.1 → 2.2 ms fwd+bwd, tools/bench_infonce_fused.py --p 0, r4) and
+    the only path that runs at B=65k, where the materialized program
+    fails to compile. Materialized elsewhere (CPU pallas interpret mode
+    is orders slower)."""
 
     normalize: bool = False
     tau: float = 1.0
     alpha: float = 0.5
-    use_fused: bool = False
+    use_fused: Optional[bool] = None  # None = auto (fused on TPU)
+
+    def _fused_ok(self) -> bool:
+        if self.use_fused is None:
+            return jax.default_backend() == "tpu"
+        return self.use_fused
 
     def loss(self, z1, z2_con_z1, z3, z1_rec, z2_con_z1_rec, z3_rec):
         del z1, z2_con_z1, z3
@@ -117,7 +125,7 @@ class SimCLRLoss(CLLoss):
 
         pos = jnp.sum(z1_rec * z2_con_z1_rec, axis=-1)
         loss_pos = -pos / self.tau
-        if self.use_fused:
+        if self._fused_ok():
             from ..ops.infonce_pallas import fused_dot_lse
 
             lse = fused_dot_lse(z1_rec, z3_rec, self.tau)

@@ -124,8 +124,17 @@ def build_parser():
     parser.add_argument("--weight-decay", default=0.0, type=float,
                         help="AdamW decoupled weight decay (norm-drift "
                              "mitigation; 0 = reference Adam)")
-    parser.add_argument("--natural-discrete", action="store_true", default=False,
-                        help="discretize natural sprites")
+    parser.add_argument("--seeds", type=int, default=0,
+                        help="Train N seeds (base --seed, --seed+1, ...) "
+                             "in lockstep as ONE vmapped scanned program "
+                             "(kitti_solver.EnsembleSolver). The KITTI "
+                             "path is latency-bound at ~11%% of the "
+                             "matmul ceiling, so N seeds cost ~1x the "
+                             "wall of one; each lane writes the same "
+                             "per-seed artifacts (log.csv, checkpoints, "
+                             "auto-eval) a serial run would. The "
+                             "reference loops seeds serially "
+                             "(main_kitti.py:251-261). 0/1 = off.")
     parser.add_argument("--verbose", action="store_true", default=False,
                         help="for evaluation")
     parser.add_argument("--cuda", action="store_true", default=False)
@@ -142,6 +151,53 @@ def randint(low, high):
 
 def uniform(low, high):
     return float(np.random.uniform(low, high, 1)[0])
+
+
+def run_ensemble_experiment(args, dataset):
+    """--seeds N: one lockstep vmapped train over N seeds, then the
+    standard per-seed auto-eval. Per-seed dir layout is identical to N
+    serial run_experiment calls ({experiment_dir}/{seed})."""
+    from .kitti_solver import EnsembleSolver
+
+    t0 = time.time()
+    if not args.experiment_dir:
+        if "kitti" in args.dataset:
+            dataset_param = args.kitti_max_delta_t
+        elif "natural" in args.dataset:
+            dataset_param = args.natural_discrete
+        else:
+            dataset_param = args.data_distribution
+        args.experiment_dir = os.path.join(
+            f"{args.dataset}_{dataset_param}", f"{args.p}_{args.box_norm}"
+        )
+    seeds = [args.seed + i for i in range(args.seeds)]
+    out_dirs, ckpt_dirs = [], []
+    for s in seeds:
+        od = os.path.join(args.output_dir, args.experiment_dir, str(s))
+        cd = os.path.join(args.ckpt_dir, args.experiment_dir, str(s))
+        os.makedirs(od, exist_ok=True)
+        os.makedirs(cd, exist_ok=True)
+        with open(os.path.join(od, "args"), "w") as fh:
+            json.dump({**args.__dict__, "seed": s}, fh)
+        out_dirs.append(od)
+        ckpt_dirs.append(cd)
+    print(f"Ensemble over seeds: {seeds}")
+
+    solver = EnsembleSolver(args, dataset, seeds, out_dirs, ckpt_dirs)
+    from ..utils.profiling import trace_context
+
+    with trace_context(args.profile_dir):
+        solver.train()
+
+    # per-lane auto-eval through the unchanged single-seed harness
+    import copy
+
+    for s, od, cd in zip(seeds, out_dirs, ckpt_dirs):
+        a = copy.copy(args)
+        a.seed, a.output_dir, a.ckpt_dir, a.evaluate = s, od, cd, True
+        eval_dataset, _, _ = return_data(a)  # no augmentation for eval
+        eval_dis(a, eval_dataset)
+    print("done in %.2fs" % (time.time() - t0))
 
 
 def run_experiment(args, dataset, batch_pairs):
@@ -221,8 +277,30 @@ def main(argv=None):
             "metric harness single-device — drop --mesh"
         )
 
+    if args.seeds and args.seeds > 1:
+        if args.random_search or args.random_seeds:
+            raise SystemExit(
+                "--seeds (lockstep vmapped ensemble) and --random-search/"
+                "--random-seeds (serial relaunch loops) are mutually "
+                "exclusive — pick one seed-multiplexing mechanism"
+            )
+        if args.evaluate:
+            raise SystemExit(
+                "--seeds covers training (+auto-eval); to re-evaluate "
+                "existing lanes run --evaluate per seed"
+            )
+        if args.mesh and args.mesh > 1:
+            raise SystemExit(
+                "--seeds and --mesh both claim the leading device axis; "
+                "run the ensemble single-device (it exists because the "
+                "path is latency-bound, not compute-bound)"
+            )
     dataset, batch_pairs, num_channel = return_data(args)
     args.num_channel = num_channel
+
+    if args.seeds and args.seeds > 1:
+        run_ensemble_experiment(args, dataset)
+        return
 
     if args.random_search:
         while True:

@@ -135,6 +135,8 @@ def build_parser():
                              "auto-eval) a serial run would. The "
                              "reference loops seeds serially "
                              "(main_kitti.py:251-261). 0/1 = off.")
+    parser.add_argument("--natural-discrete", action="store_true", default=False,
+                        help="discretize natural sprites")
     parser.add_argument("--verbose", action="store_true", default=False,
                         help="for evaluation")
     parser.add_argument("--cuda", action="store_true", default=False)

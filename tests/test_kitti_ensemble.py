@@ -101,7 +101,13 @@ def test_ensemble_matches_serial_lanes(kitti_root, tmp_path):  # noqa: F811
         # per-lane log.csv tracks the serial run's trajectory
         with open(os.path.join(outs[i], "log.csv")) as fh:
             losses = [float(x) for x in fh.read().splitlines()[1:]]
-        np.testing.assert_allclose(losses, serial[i], rtol=5e-3)
+        # First logged window is tight (per-step agreement asserted at
+        # rtol 1e-4 above); later windows only loosely — Adam amplifies
+        # the vmap-conv reassociation noise chaotically (~1e-2 by step
+        # 10 on CPU), so this is a wiring check (right lane/seed), not
+        # a numerical-equality claim.
+        np.testing.assert_allclose(losses[0], serial[i][0], rtol=1e-3)
+        np.testing.assert_allclose(losses, serial[i], rtol=5e-2)
         # lane checkpoint is Solver/kitti_evaluate-shaped
         with open(os.path.join(cks[i], "last"), "rb") as fh:
             ckpt = pickle.load(fh)

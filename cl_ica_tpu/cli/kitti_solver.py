@@ -37,6 +37,16 @@ from ..train.checkpoint import restore_pytree, save_pytree
 from ..utils import checkify_wrap, nan_check
 
 
+def _fused_arg(args):
+    """--fused-loss/--no-fused-loss -> use_fused (None = auto on TPU);
+    --no-fused-loss wins, same precedence as main_mlp."""
+    if getattr(args, "no_fused_loss", False):
+        return False
+    if getattr(args, "fused_loss", False):
+        return True
+    return None
+
+
 def _device_one_step(net, loss, optim, sampler, pairs, augment,
                      constrain=None):
     """One fused KITTI train step — temporal-pair sampling, optional
@@ -131,10 +141,19 @@ class Solver:
         else:
             self.optim = optax.adam(lr, b1=args.beta1, b2=args.beta2)
         self.opt_state = self.optim.init(self.params)
-        self.loss = LpSimCLRLoss(p=args.p, tau=1.0, simclr_compatibility_mode=True)
+        self.loss = LpSimCLRLoss(p=args.p, tau=1.0,
+                                 simclr_compatibility_mode=True,
+                                 use_fused=_fused_arg(args))
         self.np_rng = np.random.default_rng(args.seed)
 
         net, loss, optim, augment = self.net, self.loss, self.optim, self.augment
+        if mesh is not None:
+            # the scanned chunk is GSPMD-jitted: route a would-fuse loss
+            # through the per-shard shard_map composition (or pin it
+            # materialized) so GSPMD never meets a pallas_call
+            from ..parallel.collective import gspmd_safe_loss
+
+            loss = gspmd_safe_loss(mesh, self.loss)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -408,7 +427,8 @@ class EnsembleSolver:
         else:
             self.optim = optax.adam(lr, b1=args.beta1, b2=args.beta2)
         self.loss = LpSimCLRLoss(p=args.p, tau=1.0,
-                                 simclr_compatibility_mode=True)
+                                 simclr_compatibility_mode=True,
+                                 use_fused=_fused_arg(args))
         # host RNG per lane: unused on the device path but round-tripped
         # through checkpoints so lane pickles stay Solver-loadable
         self.np_rngs = [np.random.default_rng(s) for s in self.seeds]

@@ -117,6 +117,13 @@ def parse_args(argv=None):
     parser.add_argument("--encoder", default="rn18",
                         choices=("rn18", "rn50", "rn101", "rn151"))
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--fused-loss", action="store_true",
+                        help="Force the streaming Pallas InfoNCE kernel "
+                             "for the contrastive loss (default: auto — "
+                             "fused on TPU)")
+    parser.add_argument("--no-fused-loss", action="store_true",
+                        help="Force the materialized XLA loss path "
+                             "(escape hatch for the fused kernel)")
     parser.add_argument("--fused-stem", action="store_true",
                         help="Fused Pallas BN+ReLU+maxpool stem + "
                              "FastBatchNorm (exact same math, less HBM "
@@ -384,16 +391,25 @@ class ThreeDIdentEncoder(nn.Module):
         )
 
 
-def build_split_loss(args, n_non_angular):
+def build_split_loss(args, n_non_angular, use_fused=None, wrap=None):
     """Split InfoNCE: Lp on non-angular + SimCLR on angular dims
-    (main_3dident.py:402-449)."""
-    spherical = SimCLRLoss(normalize=False, tau=1.0)
+    (main_3dident.py:402-449).
+
+    use_fused: None = auto (Pallas kernel on TPU), True/False forced —
+    the --fused-loss/--no-fused-loss escape hatch. wrap: applied to each
+    component loss object (the --mesh path passes
+    parallel.collective.gspmd_safe_loss so GSPMD never meets a
+    pallas_call; the wrapped per-shard composition keeps the kernel)."""
+    spherical = SimCLRLoss(normalize=False, tau=1.0, use_fused=use_fused)
     if args.unsupervised_loss == "vmf":
-        nonspherical = SimCLRLoss(normalize=True, tau=1.0)
+        nonspherical = SimCLRLoss(normalize=True, tau=1.0, use_fused=use_fused)
     else:
         p = {"l1": 1, "l2": 2, "l3": 3}[args.unsupervised_loss]
         nonspherical = LpSimCLRLoss(p=p, tau=1.0, simclr_compatibility_mode=True,
-                                    pow=True)
+                                    pow=True, use_fused=use_fused)
+    if wrap is not None:
+        spherical = wrap(spherical)
+        nonspherical = wrap(nonspherical)
 
     def split(z1r, z2r, z3r):
         na = n_non_angular
@@ -641,7 +657,9 @@ def main(argv=None):
             x, xt = z, zt
         return z, x, zt, xt
 
-    split_loss = build_split_loss(args, n_non_ang)
+    fused = (False if args.no_fused_loss
+             else True if args.fused_loss else None)
+    split_loss = build_split_loss(args, n_non_ang, use_fused=fused)
 
     if args.supervised_loss == "r2":
         sup_loss = R2Loss(reduction="mean", mode="negative_r2")
@@ -838,9 +856,21 @@ def main(argv=None):
                 example_batch_stats=batch_stats,
             )
         if args.mode == "unsupervised":
+            # rebuild the split loss with GSPMD-safe components: each
+            # fused-eligible piece becomes a per-shard shard_map
+            # composition (kernel stays manual-sharded), the rest is
+            # pinned materialized — GSPMD never meets a pallas_call
+            from functools import partial as _partial
+
+            from ..parallel.collective import gspmd_safe_loss
+
+            mesh_split_loss = build_split_loss(
+                args, n_non_ang, use_fused=fused,
+                wrap=_partial(gspmd_safe_loss, mesh),
+            )
             mesh_step = make_sharded_3dident_train_step(
-                mesh, sampler._sample, apply_model, split_loss, optimizer,
-                padded.shape, normalize_3dident, **tp_kwargs,
+                mesh, sampler._sample, apply_model, mesh_split_loss,
+                optimizer, padded.shape, normalize_3dident, **tp_kwargs,
             )
         elif args.mode == "supervised":
             mesh_sup_step = make_sharded_3dident_sup_step(

@@ -107,6 +107,13 @@ def build_parser():
                              "batch rows sharded inside the scanned chunk, "
                              "InfoNCE negatives global (same loss as "
                              "single-device). 0/1 = single device.")
+    parser.add_argument("--fused-loss", action="store_true",
+                        help="Force the streaming Pallas InfoNCE kernel "
+                             "(default: auto — fused on TPU; under "
+                             "--mesh it runs per-shard via shard_map)")
+    parser.add_argument("--no-fused-loss", action="store_true",
+                        help="Force the materialized XLA loss path "
+                             "(escape hatch for the fused kernel)")
     parser.add_argument("--save-step", default=10000, type=int,
                         help="number of iterations after which a checkpoint is saved")
     parser.add_argument("--kitti-max-delta-t", default=1, type=int,

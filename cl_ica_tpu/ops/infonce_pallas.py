@@ -203,17 +203,22 @@ def fused_neg_lse(z1, z3, p: float, tau: float, block: int = 512,
 
 
 def _fwd(z1, z3, p, tau, block, interpret):
+    # rectangular contract: z1 is (M, n) rows, z3 is (N, n) negatives —
+    # M == N in the single-device loss, M == N/n_shards in the per-shard
+    # shard_map composition (parallel.collective). Row and column grids
+    # are sized independently.
     b, n_feat = z1.shape
     z1p = _pad_rows(z1.astype(jnp.float32), block)
-    z3t = _pad_rows(z3.astype(jnp.float32), block).T  # (n, Bp)
+    z3t = _pad_rows(z3.astype(jnp.float32), block).T  # (n, Np)
     bp = z1p.shape[0]
-    nb = bp // block
+    mi = bp // block  # row blocks (z1)
+    nj = z3t.shape[1] // block  # column blocks (z3)
     nvalid = jnp.array([z3.shape[0]], dtype=jnp.int32)
 
     kernel = functools.partial(_fwd_kernel, p=p, tau=tau, bn=block, n_feat=n_feat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb, nb),
+        grid=(mi, nj),
         in_specs=[
             pl.BlockSpec((block, n_feat), lambda i, j, nv: (i, 0)),
             pl.BlockSpec((n_feat, block), lambda i, j, nv: (0, j)),
@@ -244,8 +249,12 @@ def _bwd(p, tau, block, interpret, res, ct):
     z1p = _pad_rows(z1.astype(jnp.float32), block)
     z3t = _pad_rows(z3.astype(jnp.float32), block).T
     bp = z1p.shape[0]
-    nb = bp // block
-    nvalid = jnp.array([b], dtype=jnp.int32)
+    mi = bp // block  # row blocks (z1)
+    nj = z3t.shape[1] // block  # column blocks (z3)
+    # rectangular masks: dz1 masks COLUMNS by the valid z3 count, dz3
+    # masks ROWS by the valid z1 count
+    nvalid_cols = jnp.array([z3.shape[0]], dtype=jnp.int32)
+    nvalid_rows = jnp.array([b], dtype=jnp.int32)
     pad = bp - b
     lse_p = jnp.concatenate([lse, jnp.zeros((pad,), lse.dtype)])[:, None]
     ct_p = jnp.concatenate([ct, jnp.zeros((pad,), ct.dtype)])[:, None]
@@ -254,7 +263,7 @@ def _bwd(p, tau, block, interpret, res, ct):
         functools.partial(_dz1_kernel, p=p, tau=tau, bn=block, n_feat=n_feat),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, nb),
+            grid=(mi, nj),
             in_specs=[
                 pl.BlockSpec((block, n_feat), lambda i, j, nv: (i, 0)),
                 pl.BlockSpec((n_feat, block), lambda i, j, nv: (0, j)),
@@ -266,13 +275,13 @@ def _bwd(p, tau, block, interpret, res, ct):
         ),
         out_shape=jax.ShapeDtypeStruct((bp, n_feat), jnp.float32),
         interpret=interpret,
-    )(nvalid, z1p, z3t, lse_p, ct_p)
+    )(nvalid_cols, z1p, z3t, lse_p, ct_p)
 
     dz3t = pl.pallas_call(
         functools.partial(_dz3_kernel, p=p, tau=tau, bm=block, n_feat=n_feat),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, nb),
+            grid=(nj, mi),
             in_specs=[
                 pl.BlockSpec((n_feat, block), lambda j, i, nv: (0, j)),  # z3ᵀ
                 pl.BlockSpec((block, n_feat), lambda j, i, nv: (i, 0)),  # z1
@@ -282,11 +291,12 @@ def _bwd(p, tau, block, interpret, res, ct):
             out_specs=pl.BlockSpec((n_feat, block), lambda j, i, nv: (0, j)),
             scratch_shapes=[pltpu.VMEM((n_feat, block), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_feat, bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_feat, z3t.shape[1]), jnp.float32),
         interpret=interpret,
-    )(nvalid, z3t, z1p, lse_p, ct_p)
+    )(nvalid_rows, z3t, z1p, lse_p, ct_p)
 
-    return dz1[:b].astype(z1.dtype), dz3t.T[:b].astype(z3.dtype)
+    return (dz1[:b].astype(z1.dtype),
+            dz3t.T[: z3.shape[0]].astype(z3.dtype))
 
 
 def _fwd_rule(z1, z3, p, tau, block, interpret):
@@ -315,7 +325,8 @@ def _dot_fwd_kernel(nvalid_ref, z1_ref, z3t_ref, out_ref, m_s, s_s, *, tau, bn):
         m_s[:] = jnp.full_like(m_s, NEG_INF)
         s_s[:] = jnp.zeros_like(s_s)
 
-    x = jnp.dot(z1_ref[:], z3t_ref[:], preferred_element_type=jnp.float32) / tau
+    x = jnp.dot(z1_ref[:], z3t_ref[:], precision=_HIGHEST,
+                preferred_element_type=jnp.float32) / tau
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + j * bn
     x = jnp.where(col < nvalid_ref[0], x, NEG_INF)
 
@@ -341,12 +352,14 @@ def _dot_dz1_kernel(
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    x = jnp.dot(z1_ref[:], z3t_ref[:], preferred_element_type=jnp.float32) / tau
+    x = jnp.dot(z1_ref[:], z3t_ref[:], precision=_HIGHEST,
+                preferred_element_type=jnp.float32) / tau
     w = jnp.exp(x - lse_ref[:, 0][:, None])
     col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1) + j * bn
     w = jnp.where(col < nvalid_ref[0], w, 0.0)
     cw = w * (ct_ref[:, 0] / tau)[:, None]
-    acc[:] += jnp.dot(cw, z3t_ref[:].T, preferred_element_type=jnp.float32)
+    acc[:] += jnp.dot(cw, z3t_ref[:].T, precision=_HIGHEST,
+                      preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
     def _():
@@ -363,13 +376,15 @@ def _dot_dz3_kernel(
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    x = jnp.dot(z1_ref[:], z3t_ref[:], preferred_element_type=jnp.float32) / tau
+    x = jnp.dot(z1_ref[:], z3t_ref[:], precision=_HIGHEST,
+                preferred_element_type=jnp.float32) / tau
     w = jnp.exp(x - lse_ref[:, 0][:, None])
     row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) + i * bm
     w = jnp.where(row < nvalid_ref[0], w, 0.0)
     cw = w * (ct_ref[:, 0] / tau)[:, None]  # (BM, BN)
     # dz3ᵀ accumulation: (n, BM) @ (BM, BN) -> (n, BN)
-    acc[:] += jnp.dot(z1_ref[:].T, cw, preferred_element_type=jnp.float32)
+    acc[:] += jnp.dot(z1_ref[:].T, cw, precision=_HIGHEST,
+                      preferred_element_type=jnp.float32)
 
     @pl.when(i == ni - 1)
     def _():
@@ -385,17 +400,19 @@ def fused_dot_lse(z1, z3, tau: float, block: int = 512, interpret: bool = False)
 
 
 def _dot_fwd(z1, z3, tau, block, interpret):
+    # rectangular contract (see _fwd): z1 (M, n) rows, z3 (N, n) negatives
     b, n_feat = z1.shape
     z1p = _pad_rows(z1.astype(jnp.float32), block)
     z3t = _pad_rows(z3.astype(jnp.float32), block).T
     bp = z1p.shape[0]
-    nb = bp // block
+    mi = bp // block
+    nj = z3t.shape[1] // block
     nvalid = jnp.array([z3.shape[0]], dtype=jnp.int32)
     lse = pl.pallas_call(
         functools.partial(_dot_fwd_kernel, tau=tau, bn=block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, nb),
+            grid=(mi, nj),
             in_specs=[
                 pl.BlockSpec((block, n_feat), lambda i, j, nv: (i, 0)),
                 pl.BlockSpec((n_feat, block), lambda i, j, nv: (0, j)),
@@ -420,8 +437,10 @@ def _dot_bwd(tau, block, interpret, res, ct):
     z1p = _pad_rows(z1.astype(jnp.float32), block)
     z3t = _pad_rows(z3.astype(jnp.float32), block).T
     bp = z1p.shape[0]
-    nb = bp // block
-    nvalid = jnp.array([b], dtype=jnp.int32)
+    mi = bp // block
+    nj = z3t.shape[1] // block
+    nvalid_cols = jnp.array([z3.shape[0]], dtype=jnp.int32)
+    nvalid_rows = jnp.array([b], dtype=jnp.int32)
     pad = bp - b
     lse_p = jnp.concatenate([lse, jnp.zeros((pad,), lse.dtype)])[:, None]
     ct_p = jnp.concatenate([ct, jnp.zeros((pad,), ct.dtype)])[:, None]
@@ -430,7 +449,7 @@ def _dot_bwd(tau, block, interpret, res, ct):
         functools.partial(_dot_dz1_kernel, tau=tau, bn=block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, nb),
+            grid=(mi, nj),
             in_specs=[
                 pl.BlockSpec((block, n_feat), lambda i, j, nv: (i, 0)),
                 pl.BlockSpec((n_feat, block), lambda i, j, nv: (0, j)),
@@ -442,13 +461,13 @@ def _dot_bwd(tau, block, interpret, res, ct):
         ),
         out_shape=jax.ShapeDtypeStruct((bp, n_feat), jnp.float32),
         interpret=interpret,
-    )(nvalid, z1p, z3t, lse_p, ct_p)
+    )(nvalid_cols, z1p, z3t, lse_p, ct_p)
 
     dz3t = pl.pallas_call(
         functools.partial(_dot_dz3_kernel, tau=tau, bm=block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, nb),
+            grid=(nj, mi),
             in_specs=[
                 pl.BlockSpec((n_feat, block), lambda j, i, nv: (0, j)),
                 pl.BlockSpec((block, n_feat), lambda j, i, nv: (i, 0)),
@@ -458,11 +477,12 @@ def _dot_bwd(tau, block, interpret, res, ct):
             out_specs=pl.BlockSpec((n_feat, block), lambda j, i, nv: (0, j)),
             scratch_shapes=[pltpu.VMEM((n_feat, block), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_feat, bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_feat, z3t.shape[1]), jnp.float32),
         interpret=interpret,
-    )(nvalid, z3t, z1p, lse_p, ct_p)
+    )(nvalid_rows, z3t, z1p, lse_p, ct_p)
 
-    return dz1[:b].astype(z1.dtype), dz3t.T[:b].astype(z3.dtype)
+    return (dz1[:b].astype(z1.dtype),
+            dz3t.T[: z3.shape[0]].astype(z3.dtype))
 
 
 def _dot_fwd_rule(z1, z3, tau, block, interpret):

@@ -15,9 +15,11 @@ global-negative semantics exactly while the collective rides ICI.
 
 from .mesh import make_mesh, make_dp_tp_mesh, data_sharding, replicated
 from .collective import (
+    gspmd_safe_loss,
     sharded_lp_neg_lse,
     sharded_lp_simclr_loss,
     sharded_store_gather,
+    shardmap_cl_loss,
     store_gather_shardmap,
 )
 from .sharded import (
@@ -37,6 +39,8 @@ __all__ = [
     "make_sharded_synthetic_train_step",
     "make_sharded_data_train_step",
     "shard_batch",
+    "gspmd_safe_loss",
+    "shardmap_cl_loss",
     "sharded_lp_neg_lse",
     "sharded_lp_simclr_loss",
     "sharded_store_gather",

@@ -65,30 +65,43 @@ def test_ensemble_matches_serial_lanes(kitti_root, tmp_path):  # noqa: F811
 
     ds = KittiMasks(path=kitti_root, download=False, transform="default")
 
+    # first-chunk ensemble probe, computed once and checked against
+    # EVERY lane below (ADVICE r4: lanes 1-2 must get the tight
+    # per-step rtol too, not just lane 0)
+    ens0, _, _ = _ensemble(tmp_path, ds, "probe")
+    chunk = ens0._make_chunk(ens0._n_inner)
+    _, e_losses, _ = chunk(ens0.states, ens0.device_sampler.arrays)
+    e_losses = np.asarray(e_losses)
+
     serial = []
-    for s in SEEDS:
+    for i, s in enumerate(SEEDS):
         args = _mk_args(tmp_path / f"s{s}" / "ck", tmp_path / f"s{s}" / "out",
                         seed=s)
         sol = Solver(args, ds)
-        # init bit-equality + first-chunk per-step loss agreement
-        if s == SEEDS[0]:
-            ens0, _, _ = _ensemble(tmp_path, ds, "probe")
-            lane_p, _, lane_k = ens0._lane_state(0)
-            for a, b in zip(jax_tree_leaves(sol.params),
-                            jax_tree_leaves(lane_p)):
-                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-            np.testing.assert_array_equal(np.asarray(sol.key),
-                                          np.asarray(lane_k))
-            _, _, _, s_losses, _ = sol._chunk(
-                sol.params, sol.opt_state, sol.key,
-                sol.device_sampler.arrays,
-            )
-            chunk = ens0._make_chunk(ens0._n_inner)
-            _, e_losses, _ = chunk(ens0.states, ens0.device_sampler.arrays)
-            np.testing.assert_allclose(
-                np.asarray(e_losses)[:, 0], np.asarray(s_losses),
-                rtol=1e-4, atol=1e-6,
-            )
+        # init bit-equality + first-chunk per-step loss agreement,
+        # asserted for every lane against its serial twin
+        lane_p, _, lane_k = ens0._lane_state(i)
+        for a, b in zip(jax_tree_leaves(sol.params),
+                        jax_tree_leaves(lane_p)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(sol.key),
+                                      np.asarray(lane_k))
+        _, _, _, s_losses, _ = sol._chunk(
+            sol.params, sol.opt_state, sol.key,
+            sol.device_sampler.arrays,
+        )
+        s_losses = np.asarray(s_losses)
+        # step 1 is pre-reassociation-drift: tight on every lane (a
+        # wiring bug — wrong seed/lane — would be O(1) off here)
+        np.testing.assert_allclose(e_losses[0, i], s_losses[0], rtol=1e-5)
+        # across the chunk the vmap-conv reassociation noise compounds
+        # through Adam (measured ~3e-4 rel by step 5 on lanes 1-2 on
+        # CPU); lane 0 happens to share the serial layout and stays
+        # at float-reassociation level
+        rtol = 1e-4 if i == 0 else 2e-3
+        np.testing.assert_allclose(
+            e_losses[:, i], s_losses, rtol=rtol, atol=1e-6,
+        )
         assert sol.train() is False
         with open(os.path.join(args.output_dir, "log.csv")) as fh:
             losses = [float(x) for x in fh.read().splitlines()[1:]]

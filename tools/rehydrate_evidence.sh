@@ -25,6 +25,23 @@ if [ ! -f fixtures/kitti_synth/kitti_peds_v2.pickle ]; then
     --output-dir fixtures/kitti_synth --seed 0
 fi
 
+if [ ! -f fixtures/kitti_synth_noisy/kitti_peds_v2.pickle ]; then
+  echo "=== KITTI noisy-mask corpus (segmentation-noise 0.3, seed 0)"
+  python -u -m cl_ica_tpu.tools.make_synthetic_kitti \
+    --output-dir fixtures/kitti_synth_noisy --seed 0 \
+    --segmentation-noise 0.3
+fi
+
+# 16k-point 8^2 latent fixture (softclip cross-check jax legs; only
+# raw_latents.npy matters — --dummy-mixing never reads the images)
+if [ ! -f fixtures/td_nonper_16k_8/raw_latents.npy ]; then
+  echo "=== 3DIdent 16k/8^2 fixture (softclip xcheck; ~30 s)"
+  python -u -m cl_ica_tpu.tools.make_synthetic_3dident \
+    --output-folder fixtures/td_nonper_16k_8 \
+    --n-points 16384 --image-size 8 --seed 0 \
+    --non-periodic-rotation-and-color
+fi
+
 # Gate on the packed store: it is the LAST-written, atomically-renamed
 # artifact (raw_latents.npy lands first, before the ~7-min render), so
 # an interrupted generation re-runs instead of skipping.
@@ -48,3 +65,12 @@ else
   echo "=== 3DIdent sigma=0.1 seed-0, first 3k steps (peak region; ~20 min)"
   tools/run_3dident_seed_band.sh fixtures/td_nonper_250k_64 runs/td250k64 3000 0
 fi
+
+# --- r4 evidence logs (VM resets erase runs/) ---
+
+echo "=== bench.py post-fused revalidation (runs/bench_r4_postfused.log)"
+python -u bench.py 2>&1 | tee runs/bench_r4_postfused.log
+
+echo "=== relay dispatch-deadline probe (runs/probe_deadline_r4.log)"
+python -u tools/probe_dispatch_deadline.py 10 30 70 90 2>&1 \
+  | tee runs/probe_deadline_r4.log

@@ -86,7 +86,7 @@ def build_cells():
     add(SPHERE, 1, 0.05, 2, "mismatched", "none")
     add(SPHERE, 2, 0.05, 2, "matched", "orth")
     add(SPHERE, 2, 0.05, 1, "mismatched", "none")
-    add(SPHERE, 3, 0.05, 3, "matched", "degenerate")
+    add(SPHERE, 3, 0.05, 3, "matched", "perm-slow")
     add(SPHERE, 3, 0.05, 2, "mismatched", "none")
 
     # --- box: uniform marginal, box-norm head (reference protocol) ---

@@ -47,9 +47,14 @@ import time
 #             normal conditional on unbounded space): R2 high, MCC low.
 #   none    — assumptions violated (mismatched loss): degradation
 #             expected; no guarantee.
-#   degenerate — matched in theory but known-bad optimization (the
-#             c-p=3/p=3 logsumexp plateau collapse, EXPERIMENTS r1;
-#             shared with the torch reference).
+#   perm-slow — perm-class asymptote with a long transient: either a
+#             mismatched loss on a bounded support (costs speed, not
+#             the asymptote) or the c-p=3/p=3 logsumexp plateau, which
+#             r5 showed is ESCAPABLE at the reference's own 100k
+#             schedule (sphere escapes ~35k → MCC 0.996; box 0.979).
+#             No cell is labeled "degenerate" anymore — every matched
+#             cell reaches its theory class at the reference schedule;
+#             the r1-r4 "degenerate" label was a 30k-horizon artifact.
 
 SPHERE = dict(space="sphere", m_p=0, head=["--sphere-norm"])
 BOX = dict(space="box", m_p=0, head=["--box-norm"])
@@ -104,7 +109,11 @@ def build_cells():
     # rotational symmetry — the paper reports high MCC here.
     add(BOX, 2, 0.05, 2, "matched", "perm")
     add(BOX, 2, 0.05, 1, "mismatched", "perm-slow")
-    add(BOX, 3, 0.05, 3, "matched", "degenerate")
+    # r5 100k measurement: MCC 0.979 ± 0.006 — NOT degenerate; the
+    # c-p=3 logsumexp plateau is escapable on the box just like the
+    # sphere (sphere escaped at ~35k to 0.996). Was labeled degenerate
+    # through r4 on 30k-horizon evidence.
+    add(BOX, 3, 0.05, 3, "matched", "perm-slow")
     add(BOX, 3, 0.05, 2, "mismatched", "perm-slow")
 
     # --- unbounded: Normal marginal (m-p=2), no output constraint.
@@ -276,7 +285,10 @@ def render_table(results, cells):
     for c in cells:
         r = results.get(cell_key(c))
         if not r or not r.get("ok"):
-            row = "— failed —"
+            # absent ≠ failed: the 12 cells that plateaued at 30k were
+            # not re-queued at 100k (their numbers live in the r4
+            # EXPERIMENTS table); only rc!=0 entries actually failed.
+            row = "— failed —" if r else "— not re-run (30k plateau, EXPERIMENTS r4) —"
             print(f"| {c['space']} | {mnames[c['m_p']]} | {cnames[c['c_p']]} "
                   f"| {c['p']} | {c['match']} | {c['theory']} | | {row} | {row} |")
             continue

@@ -32,6 +32,16 @@ if [ ! -f fixtures/kitti_synth_noisy/kitti_peds_v2.pickle ]; then
     --segmentation-noise 0.3
 fi
 
+# r5 noise-response sweep points (EXPERIMENTS r5 noisy-band section)
+for s in 0.15 0.5; do
+  d="fixtures/kitti_synth_noisy$(echo "$s" | tr -d .)"
+  if [ ! -f "$d/kitti_peds_v2.pickle" ]; then
+    echo "=== KITTI noisy-mask corpus (segmentation-noise $s, seed 0)"
+    python -u -m cl_ica_tpu.tools.make_synthetic_kitti \
+      --output-dir "$d" --seed 0 --segmentation-noise "$s"
+  fi
+done
+
 # 16k-point 8^2 latent fixture (softclip cross-check jax legs; only
 # raw_latents.npy matters — --dummy-mixing never reads the images)
 if [ ! -f fixtures/td_nonper_16k_8/raw_latents.npy ]; then

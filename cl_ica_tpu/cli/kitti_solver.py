@@ -37,14 +37,7 @@ from ..train.checkpoint import restore_pytree, save_pytree
 from ..utils import checkify_wrap, nan_check
 
 
-def _fused_arg(args):
-    """--fused-loss/--no-fused-loss -> use_fused (None = auto on TPU);
-    --no-fused-loss wins, same precedence as main_mlp."""
-    if getattr(args, "no_fused_loss", False):
-        return False
-    if getattr(args, "fused_loss", False):
-        return True
-    return None
+from . import fused_arg as _fused_arg
 
 
 def _device_one_step(net, loss, optim, sampler, pairs, augment,

@@ -36,6 +36,7 @@ from ..data import (
     normalize_3dident,
 )
 from ..evaluation import linear_disentanglement, permutation_disentanglement
+from . import fused_arg
 from ..losses import LpSimCLRLoss, R2Loss, SimCLRLoss
 from ..models import construct_invertible_mlp, get_mlp
 from ..models.layers import RescaleLayer, SoftclipLayer
@@ -657,8 +658,7 @@ def main(argv=None):
             x, xt = z, zt
         return z, x, zt, xt
 
-    fused = (False if args.no_fused_loss
-             else True if args.fused_loss else None)
+    fused = fused_arg(args)
     split_loss = build_split_loss(args, n_non_ang, use_fused=fused)
 
     if args.supervised_loss == "r2":

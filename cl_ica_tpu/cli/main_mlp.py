@@ -26,6 +26,7 @@ import numpy as np
 import optax
 
 from ..evaluation import linear_disentanglement, permutation_disentanglement
+from . import fused_arg
 from ..losses import LpSimCLRLoss, SimCLRLoss
 from ..models import construct_invertible_mlp, get_mlp
 from ..spaces import LatentSpace, NBoxSpace, NRealSpace, NSphereSpace
@@ -335,8 +336,7 @@ def run_ensemble(args):
                   "fresh", flush=True)
 
     latent_space = build_latent_space(args)
-    fused = (False if args.no_fused_loss
-             else True if args.fused_loss else None)
+    fused = fused_arg(args)
     if args.p:
         loss = LpSimCLRLoss(p=args.p, tau=args.tau,
                             simclr_compatibility_mode=True, use_fused=fused)
@@ -657,8 +657,7 @@ def main(argv=None):
 
     latent_space = build_latent_space(args)
 
-    fused = (False if args.no_fused_loss
-             else True if args.fused_loss else None)
+    fused = fused_arg(args)
     if args.p:
         loss = LpSimCLRLoss(p=args.p, tau=args.tau,
                             simclr_compatibility_mode=True, use_fused=fused)

@@ -78,9 +78,17 @@ fi
 
 # --- r4 evidence logs (VM resets erase runs/) ---
 
-echo "=== bench.py post-fused revalidation (runs/bench_r4_postfused.log)"
-python -u bench.py 2>&1 | tee runs/bench_r4_postfused.log
+# Both stages are guarded like everything above: relaunching the
+# script must not re-run bench (TPU time) or the deadline probe (its
+# 70/90 s dispatches intentionally crash the shared relay worker), and
+# a bench failure must not abort before the probe log is regenerated.
+if [ ! -s runs/bench_r4_postfused.log ]; then
+  echo "=== bench.py post-fused revalidation (runs/bench_r4_postfused.log)"
+  python -u bench.py 2>&1 | tee runs/bench_r4_postfused.log || true
+fi
 
-echo "=== relay dispatch-deadline probe (runs/probe_deadline_r4.log)"
-python -u tools/probe_dispatch_deadline.py 10 30 70 90 2>&1 \
-  | tee runs/probe_deadline_r4.log
+if [ ! -s runs/probe_deadline_r4.log ]; then
+  echo "=== relay dispatch-deadline probe (runs/probe_deadline_r4.log)"
+  python -u tools/probe_dispatch_deadline.py 10 30 70 90 2>&1 \
+    | tee runs/probe_deadline_r4.log || true
+fi
